@@ -1,0 +1,103 @@
+"""Uniform sampler interface + registry.
+
+The reference dispatches on solver strings at ``src/model/faster_dqbm.py:571-684``
+("SA" / "BMS" / D-Wave names) and wraps the modular version in
+``LocalSASampler`` / ``DWaveAdapter`` (``src/qubo/sampler.py:19-51``).  Here a
+sampler is a small config object with one method:
+
+    sample_batch(key, Q, num_reads) -> (B, num_reads, n) float32 in {0,1}
+
+where ``Q`` is a batch (B, n, n) of dense upper-triangular QUBOs.  Solver
+names accepted by :func:`get_sampler` keep the reference CLI vocabulary:
+``"SA"`` (annealed Metropolis, Pallas kernel on TPU / pure JAX elsewhere),
+``"SA-JAX"`` (force the pure-JAX path), ``"BMS"`` (annealed heat-bath
+Boltzmann sampler), ``"EXACT"`` (enumeration oracle, n ≤ 20).  D-Wave solver
+names raise with a pointer to the QPU adapter seam — there is deliberately no
+cloud dependency (BASELINE.json: "no Ocean SDK or cloud secrets").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol
+
+import jax
+
+from qbmx.samplers import exact as _exact
+from qbmx.samplers import gibbs as _gibbs
+from qbmx.samplers import sa_jax as _sa_jax
+
+
+class Sampler(Protocol):
+    def sample_batch(self, key: jax.Array, Q: jax.Array, num_reads: int) -> jax.Array:
+        """(B, n, n) QUBOs → (B, num_reads, n) binary samples."""
+        ...
+
+
+@dataclasses.dataclass(frozen=True)
+class SASampler:
+    """Annealed Metropolis sampler (neal-equivalent). ``num_sweeps`` matches
+    the reference's ``anneal_steps`` knob."""
+
+    num_sweeps: int = 1000
+    use_pallas: bool | None = None  # None = auto (Pallas on TPU backends)
+
+    def sample_batch(self, key, Q, num_reads):
+        if self._pallas_enabled(Q):
+            from qbmx.samplers import sa_pallas
+
+            return sa_pallas.sa_sample_batch_pallas(key, Q, num_reads, self.num_sweeps)
+        return _sa_jax.sa_sample_batch(key, Q, num_reads, self.num_sweeps)
+
+    def _pallas_enabled(self, Q) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform == "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsSampler:
+    """Annealed heat-bath sampler — the "BMS" solver equivalent."""
+
+    num_warmup: int = 64
+    beta: float = 1.0
+
+    def sample_batch(self, key, Q, num_reads):
+        return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup, self.beta)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExactSampler:
+    """Exact enumeration oracle (n ≤ 20). The test anchor for everything else."""
+
+    beta: float = 1.0
+
+    def sample_batch(self, key, Q, num_reads):
+        B = Q.shape[0]
+        keys = jax.random.split(key, B)
+        return jax.vmap(lambda k, q: _exact.exact_sample(k, q, num_reads, self.beta))(keys, Q)
+
+
+def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
+    s = solver.upper()
+    if s in ("SA", "SA-PALLAS"):
+        return SASampler(num_sweeps=num_sweeps, use_pallas=kwargs.get("use_pallas"))
+    if s == "SA-JAX":
+        return SASampler(num_sweeps=num_sweeps, use_pallas=False)
+    if s == "BMS":
+        return GibbsSampler(num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)))
+    if s == "EXACT":
+        return ExactSampler(beta=kwargs.get("beta", 1.0))
+    if s.startswith("ADVANTAGE") or s.startswith("DW_") or s == "FUJITSUDAU":
+        raise NotImplementedError(
+            f"QPU solver {solver!r}: qbmx is annealer-free by design. Implement a "
+            "Sampler with .sample_batch to adapt external hardware (interface seam "
+            "kept per SURVEY.md §2a)."
+        )
+    raise ValueError(
+        f'Unknown solver {solver!r}. Valid: "SA", "SA-JAX", "SA-PALLAS", "BMS", "EXACT".'
+    )

@@ -1,0 +1,173 @@
+"""Sampler validation against the exact Boltzmann oracle.
+
+The reference has no tests; its samplers were trusted third-party code
+(dwave-neal).  Here every sampler is checked statistically against exact
+enumeration on small problems (SURVEY.md §4: "statistical tests for the
+sampler against exact Boltzmann enumeration on ≤20-variable problems").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.core.qubo import (
+    default_beta_range,
+    geometric_beta_schedule,
+    qubo_energies,
+    qubo_energy,
+    split_qubo,
+)
+from qbmx.samplers.exact import (
+    enumerate_states,
+    exact_boltzmann,
+    exact_sample,
+    solve_linear_qubo,
+)
+from qbmx.samplers.gibbs import gibbs_sample, gibbs_sample_batch
+from qbmx.samplers.sa_jax import sa_sample, sa_sample_batch
+
+
+def random_qubo(rng, n, scale=1.0):
+    Q = np.triu(rng.uniform(-scale, scale, (n, n)))
+    return jnp.asarray(Q, dtype=jnp.float32)
+
+
+class TestCore:
+    def test_split_roundtrip_energy(self, rng):
+        n = 6
+        Q = random_qubo(rng, n)
+        s = jnp.asarray(rng.integers(0, 2, n), dtype=jnp.float32)
+        # brute-force energy from the dense convention
+        Qnp = np.asarray(Q)
+        snp = np.asarray(s)
+        expected = snp @ np.diag(Qnp) + sum(
+            (Qnp[i, j] + Qnp[j, i]) * snp[i] * snp[j]
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert np.allclose(qubo_energy(Q, s), expected, atol=1e-5)
+
+    def test_batched_energies(self, rng):
+        Q = random_qubo(rng, 5)
+        S = jnp.asarray(rng.integers(0, 2, (7, 5)), dtype=jnp.float32)
+        es = qubo_energies(Q, S)
+        for i in range(7):
+            assert np.allclose(es[i], qubo_energy(Q, S[i]), atol=1e-5)
+
+    def test_split_symmetric(self, rng):
+        Q = random_qubo(rng, 8)
+        h, J = split_qubo(Q)
+        assert np.allclose(J, J.T)
+        assert np.allclose(np.diagonal(J), 0.0)
+
+    def test_beta_range_monotone(self, rng):
+        Q = random_qubo(rng, 8)
+        hot, cold = default_beta_range(Q)
+        assert float(hot) < float(cold)
+        betas = geometric_beta_schedule(hot, cold, 16)
+        assert betas.shape[0] == 16
+        assert np.all(np.diff(np.asarray(betas)) > 0)
+
+    def test_beta_range_degenerate_zero_qubo(self):
+        Q = jnp.zeros((4, 4))
+        hot, cold = default_beta_range(Q)
+        assert np.isfinite(float(hot)) and np.isfinite(float(cold))
+        assert float(hot) < float(cold)
+
+
+class TestExact:
+    def test_enumerate(self):
+        st = enumerate_states(3)
+        assert st.shape == (8, 3)
+        assert len({tuple(np.asarray(r)) for r in st}) == 8
+
+    def test_boltzmann_uniform_at_zero_coupling(self):
+        Q = jnp.zeros((4, 4))
+        _, probs, marg, _ = exact_boltzmann(Q)
+        assert np.allclose(probs, 1 / 16, atol=1e-6)
+        assert np.allclose(marg, 0.5, atol=1e-6)
+
+    def test_boltzmann_strong_bias(self):
+        # strongly negative bias -> marginal ~1; strongly positive -> ~0
+        Q = jnp.diag(jnp.asarray([-10.0, 10.0]))
+        _, _, marg, _ = exact_boltzmann(Q)
+        assert marg[0] > 0.99 and marg[1] < 0.01
+
+    def test_exact_sample_matches_marginals(self, rng):
+        Q = random_qubo(rng, 5, scale=2.0)
+        _, _, marg, _ = exact_boltzmann(Q)
+        s = exact_sample(jax.random.key(0), Q, 4000)
+        assert np.allclose(s.mean(axis=0), marg, atol=0.04)
+
+    def test_solve_linear(self):
+        h = jnp.asarray([-1.0, 2.0, 0.0])
+        s = solve_linear_qubo(jax.random.key(0), h, 64)
+        assert np.all(np.asarray(s[:, 0]) == 1.0)
+        assert np.all(np.asarray(s[:, 1]) == 0.0)
+        frac = float(s[:, 2].mean())
+        assert 0.2 < frac < 0.8  # ties broken randomly
+
+
+class TestSAJax:
+    @pytest.mark.parametrize("n", [2, 5, 8])
+    def test_marginals_match_oracle(self, rng, n):
+        """With enough sweeps SA at a cold end ~ finds low-energy states;
+        statistical parity: marginals near the exact Boltzmann marginals of
+        a moderately coupled problem at the cold beta."""
+        Q = random_qubo(rng, n, scale=0.5)
+        reads, sweeps = 512, 200
+        samples = sa_sample(jax.random.key(1), Q, reads, sweeps)
+        assert samples.shape == (reads, n)
+        assert set(np.unique(np.asarray(samples))) <= {0.0, 1.0}
+        # SA ends near the cold beta of the default schedule; compare against
+        # the exact distribution at that beta.
+        _, cold = default_beta_range(Q)
+        _, _, marg, _ = exact_boltzmann(Q, beta=float(cold))
+        assert np.allclose(samples.mean(axis=0), marg, atol=0.12)
+
+    def test_finds_ground_state(self, rng):
+        """On a problem with a clear minimum, most chains end in it."""
+        Q = random_qubo(rng, 8, scale=3.0)
+        states = enumerate_states(8)
+        energies = np.asarray(qubo_energies(Q, states))
+        gs = states[int(np.argmin(energies))]
+        samples = sa_sample(jax.random.key(2), Q, 256, 300)
+        hits = np.mean(np.all(np.asarray(samples) == np.asarray(gs), axis=1))
+        assert hits > 0.5
+
+    def test_chains_are_decorrelated(self, rng):
+        """Unlike the reference (same seed in all 10 SA workers,
+        SURVEY.md §2c.4), chains must not be identical copies."""
+        Q = random_qubo(rng, 6, scale=0.2)  # weak couplings -> diffuse dist
+        hot = jnp.asarray(0.5, dtype=jnp.float32)
+        cold = jnp.asarray(1.0, dtype=jnp.float32)  # mild schedule: stay diffuse
+        samples = np.asarray(
+            sa_sample(jax.random.key(3), Q, 64, 50, beta_range=(hot, cold))
+        )
+        assert len({tuple(r) for r in samples}) > 5
+
+    def test_batch_matches_single(self, rng):
+        Qs = jnp.stack([random_qubo(rng, 5, scale=1.0) for _ in range(3)])
+        out = sa_sample_batch(jax.random.key(4), Qs, 256, 100)
+        assert out.shape == (3, 256, 5)
+        # each problem's sample stats should track its own oracle
+        for b in range(3):
+            _, cold = default_beta_range(Qs[b])
+            _, _, marg, _ = exact_boltzmann(Qs[b], beta=float(cold))
+            assert np.allclose(out[b].mean(axis=0), marg, atol=0.15)
+
+
+class TestGibbs:
+    def test_matches_boltzmann_at_beta1(self, rng):
+        Q = random_qubo(rng, 6, scale=1.0)
+        _, _, marg, pair = exact_boltzmann(Q, beta=1.0)
+        s = gibbs_sample(jax.random.key(5), Q, 2048, num_warmup=64, beta=1.0)
+        assert np.allclose(s.mean(axis=0), marg, atol=0.05)
+        emp_pair = np.einsum("mi,mj->ij", np.asarray(s), np.asarray(s)) / s.shape[0]
+        assert np.allclose(emp_pair, pair, atol=0.07)
+
+    def test_batch_shape(self, rng):
+        Qs = jnp.stack([random_qubo(rng, 4) for _ in range(2)])
+        out = gibbs_sample_batch(jax.random.key(6), Qs, 32, num_warmup=8)
+        assert out.shape == (2, 32, 4)
