@@ -1,0 +1,388 @@
+"""Flat discriminative Quantum Boltzmann Machine (Disc_QBM), TPU-native.
+
+Same capability as the reference's ``Disc_QBM`` (``src/model/faster_dqbm.py``):
+label node(s) + clamped analog input (values in [0,1]) + H hidden units,
+trained with clamped/unclamped two-phase Boltzmann learning over QUBO
+samples.  The design is functional: parameters are a pytree, the QUBO
+builders and moment estimators are pure functions vmapped over the batch,
+and one training iteration — both phases' QUBO builds, all SA chains, moment
+estimation, and the SGD update — is a single jitted computation.  The
+reference instead loops examples in Python and fans SA out to a process pool
+(2·N pickled sampler invocations per epoch, SURVEY.md §3.2).
+
+QUBO layout parity (``src/model/faster_dqbm.py:225-284``):
+  * clamped (H×H): diag = hidden biases + (concat(label, x) @ W_vh);
+    strictly-upper = hidden-hidden couplings (iff not restricted); ÷ beta_eff.
+  * unclamped ((O+H)×(O+H)): output block first — diag outputs =
+    output biases + x @ W_vo, diag hiddens = hidden biases + x @ W_vh[input
+    rows]; upper blocks = output-output couplings, label-row W_vh as the
+    output→hidden block, hidden-hidden couplings; ÷ beta_eff.
+
+Moment estimation implements the mathematically correct vectorized form.
+The reference's batched estimator has wrong-block bugs (writes unclamped
+visible→hidden stats into ``[:dim_input, :dim_input]`` and double-counts
+output-output stats in the hidden-hidden branch,
+``src/model/faster_dqbm.py:754-848``) — documented deviation per
+SURVEY.md §2c.3: we match the *correct* per-example semantics
+(``src/model/faster_dqbm.py:688-752``) extended with the proper unclamped
+label-row statistic E[y_o h_j].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbmx.samplers.api import Sampler, get_sampler
+
+Pytree = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DQBMParams:
+    """Parameter pytree. Shapes follow ``init_weights_for_supervised``
+    (``src/model/faster_dqbm.py:192-223``); ``w_hh`` is all-zero (and kept
+    frozen) when the model is restricted, so the pytree is jit-stable."""
+
+    w_vh: jax.Array  # (n_out + dim_input, H): rows = [label nodes..., input...]
+    w_vo: jax.Array  # (dim_input, n_out)
+    w_oo: jax.Array  # (n_out, n_out), strictly upper
+    b_h: jax.Array  # (H,)
+    b_o: jax.Array  # (n_out,)
+    w_hh: jax.Array  # (H, H), strictly upper; zeros if restricted
+
+
+def init_params(
+    key: jax.Array, dim_input: int, n_hidden: int, n_out: int, restricted: bool
+) -> DQBMParams:
+    """U(-1, 1) init, matching the reference's distribution (not its numpy
+    RNG stream — parity is statistical, SURVEY.md §7)."""
+    ks = jax.random.split(key, 6)
+    u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -1.0, 1.0)
+    H = n_hidden
+    w_hh = jnp.triu(u(ks[5], (H, H)), k=1) if not restricted else jnp.zeros((H, H))
+    return DQBMParams(
+        w_vh=u(ks[0], (n_out + dim_input, H)),
+        w_vo=u(ks[1], (dim_input, n_out)),
+        w_oo=jnp.triu(u(ks[2], (n_out, n_out)), k=1),
+        b_h=u(ks[3], (H,)),
+        b_o=u(ks[4], (n_out,)),
+        w_hh=w_hh,
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUBO builders (pure, vmappable)
+# ---------------------------------------------------------------------------
+
+
+def clamped_qubo(params: DQBMParams, x: jax.Array, y_vec: jax.Array, beta_eff: float):
+    """(H, H) QUBO over hidden units with visibles clamped to (label, x)."""
+    v = jnp.concatenate([y_vec, x])  # label rows first, as in the weight matrix
+    diag = params.b_h + v @ params.w_vh
+    Q = jnp.diag(diag) + jnp.triu(params.w_hh, k=1)
+    return Q / beta_eff
+
+
+def unclamped_qubo(params: DQBMParams, x: jax.Array, beta_eff: float):
+    """((O+H), (O+H)) QUBO over (outputs, hiddens) with input clamped to x."""
+    n_out = params.b_o.shape[0]
+    H = params.b_h.shape[0]
+    diag_o = params.b_o + x @ params.w_vo
+    diag_h = params.b_h + x @ params.w_vh[n_out:]
+    Q = jnp.zeros((n_out + H, n_out + H))
+    Q = Q.at[jnp.arange(n_out), jnp.arange(n_out)].set(diag_o)
+    Q = Q.at[n_out + jnp.arange(H), n_out + jnp.arange(H)].set(diag_h)
+    Q = Q.at[:n_out, :n_out].add(jnp.triu(params.w_oo, k=1))
+    Q = Q.at[:n_out, n_out:].add(params.w_vh[:n_out])
+    Q = Q.at[n_out:, n_out:].add(jnp.triu(params.w_hh, k=1))
+    return Q / beta_eff
+
+
+clamped_qubo_batch = jax.vmap(clamped_qubo, in_axes=(None, 0, 0, None))
+unclamped_qubo_batch = jax.vmap(unclamped_qubo, in_axes=(None, 0, None))
+
+
+# ---------------------------------------------------------------------------
+# Moment estimation (correct vectorized math)
+# ---------------------------------------------------------------------------
+
+
+def clamped_moments(s_h: jax.Array, x: jax.Array, y_vec: jax.Array) -> DQBMParams:
+    """Per-example clamped-phase statistics.
+
+    s_h: (B, R, H) hidden samples; x: (B, D); y_vec: (B, O).
+    Returns a DQBMParams-shaped pytree of per-example-averaged statistics
+    (already averaged over reads, still summed over nothing — per example).
+    """
+    Eh = s_h.mean(axis=1)  # (B, H)
+    Ehh = jnp.einsum("brh,brk->bhk", s_h, s_h, precision="highest") / s_h.shape[1]
+    v = jnp.concatenate([y_vec, x], axis=1)  # (B, O+D)
+    g_wvh = v[:, :, None] * Eh[:, None, :]  # (B, O+D, H)
+    g_wvo = x[:, :, None] * y_vec[:, None, :]  # (B, D, O)
+    g_woo = jnp.triu(y_vec[:, :, None] * y_vec[:, None, :], k=1)
+    return DQBMParams(
+        w_vh=g_wvh,
+        w_vo=g_wvo,
+        w_oo=g_woo,
+        b_h=Eh,
+        b_o=y_vec,
+        w_hh=jnp.triu(Ehh, k=1),
+    )
+
+
+def unclamped_moments(s: jax.Array, x: jax.Array, n_out: int) -> DQBMParams:
+    """Per-example unclamped-phase statistics.
+
+    s: (B, R, O+H) samples over (outputs, hiddens); x: (B, D).
+    """
+    R = s.shape[1]
+    y_s = s[:, :, :n_out]  # (B, R, O)
+    h_s = s[:, :, n_out:]  # (B, R, H)
+    Ey = y_s.mean(axis=1)
+    Eh = h_s.mean(axis=1)
+    Eyh = jnp.einsum("bro,brh->boh", y_s, h_s, precision="highest") / R
+    Eyy = jnp.einsum("bro,brp->bop", y_s, y_s, precision="highest") / R
+    Ehh = jnp.einsum("brh,brk->bhk", h_s, h_s, precision="highest") / R
+    g_wvh = jnp.concatenate([Eyh, x[:, :, None] * Eh[:, None, :]], axis=1)
+    g_wvo = x[:, :, None] * Ey[:, None, :]
+    return DQBMParams(
+        w_vh=g_wvh,
+        w_vo=g_wvo,
+        w_oo=jnp.triu(Eyy, k=1),
+        b_h=Eh,
+        b_o=Ey,
+        w_hh=jnp.triu(Ehh, k=1),
+    )
+
+
+def _masked_mean(tree: Pytree, mask: jax.Array) -> Pytree:
+    """Average per-example stats over the batch, honoring a validity mask
+    (padded tail of the final partial batch contributes zero)."""
+    denom = jnp.maximum(mask.sum(), 1.0)
+
+    def avg(leaf):
+        m = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        return (leaf * m).sum(axis=0) / denom
+
+    return jax.tree.map(avg, tree)
+
+
+# ---------------------------------------------------------------------------
+# Loss / prediction helpers (reference semantics)
+# ---------------------------------------------------------------------------
+
+
+def output_probs_from_samples(s_u: jax.Array, n_out: int, one_hot: bool):
+    """Unclamped samples → class probabilities.
+
+    Binary single-node: p1 = E[output node], probs = [1-p1, p1]
+    (``src/model/faster_dqbm.py:980-981``).  One-hot: normalized marginals
+    (``src/train/pipeline.py:24-27``).
+    """
+    marg = s_u[:, :, :n_out].mean(axis=1)  # (B, O)
+    if not one_hot:
+        p1 = jnp.clip(marg[:, 0], 1e-12, 1 - 1e-12)
+        return jnp.stack([1.0 - p1, p1], axis=1)
+    tot = marg.sum(axis=1, keepdims=True)
+    return jnp.where(tot > 0, marg / tot, 1.0 / n_out)
+
+
+def nll_from_probs(probs: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean −log p(y) over valid examples (``compute_nll``,
+    ``src/model/faster_dqbm.py:972-994``)."""
+    p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    nll = -jnp.log(p + 1e-12)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+class DiscQBM:
+    """Stateful wrapper with the reference's API surface
+    (train_model / predict / save_weights / load_savepoint) around the
+    functional core above."""
+
+    def __init__(
+        self,
+        dim_input: int,
+        num_classes: int = 2,
+        n_hidden_nodes: int = 4,
+        seed: int = 77,
+        solver: str = "SA",
+        restricted: bool = False,
+        sample_count: int = 20,
+        anneal_steps: int = 20,
+        beta_eff: float = 1.0,
+        use_one_hot_encoding: bool = False,
+        sampler: Sampler | None = None,
+        load_path: str = "",
+    ):
+        self.dim_input = dim_input
+        self.num_classes = num_classes
+        self.n_hidden_nodes = n_hidden_nodes
+        self.n_output_nodes = num_classes if use_one_hot_encoding else 1
+        self.use_one_hot_encoding = use_one_hot_encoding
+        self.restricted = restricted
+        self.sample_count = sample_count
+        self.anneal_steps = anneal_steps
+        self.beta_eff = float(beta_eff)
+        self.seed = seed
+        self.solver_string = solver
+        self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal_steps)
+
+        self.key = jax.random.key(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(
+            init_key, dim_input, n_hidden_nodes, self.n_output_nodes, restricted
+        )
+        if load_path:
+            self.load_savepoint(load_path)
+
+        self._step = self._build_step()
+        self._predict_probs = self._build_predict()
+
+    # -- jitted computations -------------------------------------------------
+
+    def _label_vec(self, y: jax.Array) -> jax.Array:
+        if self.use_one_hot_encoding:
+            return jax.nn.one_hot(y.astype(jnp.int32), self.n_output_nodes)
+        return y.astype(jnp.float32)[:, None]
+
+    def _build_step(self):
+        sampler = self.sampler
+        n_out = self.n_output_nodes
+        beta_eff = self.beta_eff
+        reads = self.sample_count
+        restricted = self.restricted
+        one_hot = self.use_one_hot_encoding
+
+        @jax.jit
+        def step(params: DQBMParams, x, y, mask, lr, key):
+            y_vec = (
+                jax.nn.one_hot(y.astype(jnp.int32), n_out)
+                if one_hot
+                else y.astype(jnp.float32)[:, None]
+            )
+            kc, ku = jax.random.split(key)
+            Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
+            Qu = unclamped_qubo_batch(params, x, beta_eff)
+            s_c = sampler.sample_batch(kc, Qc, reads)
+            s_u = sampler.sample_batch(ku, Qu, reads)
+
+            mc = clamped_moments(s_c, x, y_vec)
+            mu = unclamped_moments(s_u, x, n_out)
+            diff = jax.tree.map(lambda a, b: a - b, mc, mu)
+            grad = _masked_mean(diff, mask)
+            if restricted:
+                grad = dataclasses.replace(grad, w_hh=jnp.zeros_like(grad.w_hh))
+            # gradient DESCENT on (clamped − unclamped), reference
+            # ``src/model/faster_dqbm.py:1051-1059``
+            new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
+
+            probs = output_probs_from_samples(s_u, n_out, one_hot)
+            nll = nll_from_probs(probs, y, mask)
+            err_out = (grad.b_o).mean()
+            return new_params, nll, err_out
+
+        return step
+
+    def _build_predict(self):
+        sampler = self.sampler
+        n_out = self.n_output_nodes
+        beta_eff = self.beta_eff
+        reads = self.sample_count
+        one_hot = self.use_one_hot_encoding
+
+        @jax.jit
+        def predict_probs(params: DQBMParams, x, key):
+            Qu = unclamped_qubo_batch(params, x, beta_eff)
+            s_u = sampler.sample_batch(key, Qu, reads)
+            marg = s_u[:, :, :n_out].mean(axis=1)
+            probs = output_probs_from_samples(s_u, n_out, one_hot)
+            return marg, probs
+
+        return predict_probs
+
+    # -- public API ----------------------------------------------------------
+
+    def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
+        x = jnp.asarray(x_batch, dtype=jnp.float32)
+        y = jnp.asarray(y_batch)
+        if mask is None:
+            mask = jnp.ones((x.shape[0],), dtype=jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        self.params, nll, err = self._step(self.params, x, y, mask, learning_rate, k)
+        return float(err), float(nll)
+
+    def predict(self, data):
+        """Single-example prediction, reference semantics
+        (``src/model/faster_dqbm.py:1227-1241``): unclamped output marginal,
+        rounded (binary) or argmaxed (one-hot)."""
+        preds, _ = self.predict_batch(np.asarray(data)[None])
+        return int(preds[0])
+
+    def predict_batch(self, X):
+        x = jnp.asarray(X, dtype=jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        marg, probs = self._predict_probs(self.params, x, k)
+        marg = np.asarray(marg)
+        if self.use_one_hot_encoding:
+            preds = np.argmax(marg, axis=1)
+        else:
+            preds = np.round(marg[:, 0]).astype(int)
+        return preds, np.asarray(probs)
+
+    # -- checkpointing (reference pickle format compatible) ------------------
+
+    def weight_objects(self):
+        """Reference ``weight_objects`` ordering
+        (``src/model/faster_dqbm.py:90-94``)."""
+        p = self.params
+        objs = [
+            np.asarray(p.w_vh),
+            np.asarray(p.w_vo),
+            np.asarray(p.b_h),
+            np.asarray(p.b_o),
+            np.asarray(p.w_oo),
+        ]
+        if not self.restricted:
+            objs.append(np.asarray(p.w_hh))
+        return objs
+
+    def save_weights(self, title, path="out"):
+        Path(path).mkdir(parents=True, exist_ok=True)
+        with open(f"{path}/{title}.pkl", "wb") as f:
+            pickle.dump(self.weight_objects(), f)
+
+    def load_savepoint(self, savepoint):
+        """Load reference-format checkpoints: 5-tuple (restricted) or 6-tuple
+        (fully connected), ``src/model/faster_dqbm.py:169-190``."""
+        savepoint = Path(savepoint)
+        if not savepoint.exists():
+            raise FileNotFoundError("Savepoint file not found")
+        with open(savepoint, "rb") as f:
+            loaded = pickle.load(f)
+        if len(loaded) not in (5, 6):
+            raise ValueError(f"expected 5- or 6-tuple checkpoint, got {len(loaded)}")
+        w_vh, w_vo, b_h, b_o, w_oo = loaded[:5]
+        w_hh = loaded[5] if len(loaded) == 6 else np.zeros((self.n_hidden_nodes,) * 2)
+        self.params = DQBMParams(
+            w_vh=jnp.asarray(w_vh, jnp.float32),
+            w_vo=jnp.asarray(w_vo, jnp.float32),
+            w_oo=jnp.asarray(w_oo, jnp.float32),
+            b_h=jnp.asarray(b_h, jnp.float32),
+            b_o=jnp.asarray(b_o, jnp.float32),
+            w_hh=jnp.asarray(w_hh, jnp.float32),
+        )

@@ -1,0 +1,289 @@
+"""Discriminative RBM, TPU-native.
+
+Capability parity with the reference ``ClassificationRBM``
+(``src/ClassificationRBM.py``): a Larochelle-style discriminative RBM over
+(visible, hidden, class) units with
+
+  * the **exact** discriminative gradient — the reference's training path
+    (``discriminative_training``, ``src/ClassificationRBM.py:101-146``; its
+    ``k`` parameter is stored but never used, SURVEY.md §2c.1).  Here the
+    closed-form conditional ``p(y|x)`` is differentiated with ``jax.grad``,
+    which is mathematically identical to the reference's hand-derived
+    positive/negative phase (the loss is an explicit function of params).
+  * a **CD-k / PCD generative** path (Gibbs chains with on-device PRNG) —
+    the north-star extension (BASELINE.json: "CD-1 RBM training on binarized
+    MNIST ≥ 100k images/sec/chip") plus a hybrid objective mixing both.
+
+Everything is jitted; ``train_epoch_scan`` runs a whole epoch as one
+``lax.scan`` on device for maximum throughput.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RBMParams:
+    weights: jax.Array  # (V, H)
+    visible_bias: jax.Array  # (V,)
+    hidden_bias: jax.Array  # (H,)
+    class_bias: jax.Array  # (C,)
+    class_weights: jax.Array  # (C, H)
+
+
+def init_params(key: jax.Array, num_visible: int, num_hidden: int, num_classes: int) -> RBMParams:
+    """Reference init (``src/ClassificationRBM.py:26-30``): weights ~
+    0.1·N(0,1); visible bias 0.5; hidden/class biases and class weights 0."""
+    return RBMParams(
+        weights=0.1 * jax.random.normal(key, (num_visible, num_hidden), jnp.float32),
+        visible_bias=0.5 * jnp.ones((num_visible,), jnp.float32),
+        hidden_bias=jnp.zeros((num_hidden,), jnp.float32),
+        class_bias=jnp.zeros((num_classes,), jnp.float32),
+        class_weights=jnp.zeros((num_classes, num_hidden), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discriminative path
+# ---------------------------------------------------------------------------
+
+
+def class_logits(params: RBMParams, x: jax.Array) -> jax.Array:
+    """log p(y|x) + const for a batch: (B, C).
+
+    ``logit_y = d_y + Σ_j softplus(c_j + x·W_j + U_yj)`` — the exact
+    free-energy form the reference computes with Python loops over classes
+    and hidden units (``sample_class_given_x``,
+    ``src/ClassificationRBM.py:62-86``), here one broadcasted softplus.
+    """
+    pre = x @ params.weights + params.hidden_bias  # (B, H)
+    act = pre[:, None, :] + params.class_weights[None, :, :]  # (B, C, H)
+    return params.class_bias[None, :] + jax.nn.softplus(act).sum(axis=-1)
+
+
+def predict_proba(params: RBMParams, x: jax.Array) -> jax.Array:
+    return jax.nn.softmax(class_logits(params, x), axis=-1)
+
+
+def discriminative_nll(params: RBMParams, x: jax.Array, y: jax.Array) -> jax.Array:
+    logits = class_logits(params, x)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=1).mean()
+
+
+# ---------------------------------------------------------------------------
+# Generative CD-k path
+# ---------------------------------------------------------------------------
+
+
+def _hidden_prob(params, v, y_onehot):
+    return jax.nn.sigmoid(v @ params.weights + params.hidden_bias + y_onehot @ params.class_weights)
+
+
+def _visible_prob(params, h):
+    return jax.nn.sigmoid(h @ params.weights.T + params.visible_bias)
+
+
+def _class_prob(params, h):
+    return jax.nn.softmax(h @ params.class_weights.T + params.class_bias, axis=-1)
+
+
+def cd_stats(params: RBMParams, key, v0, y_onehot, k: int, v_init=None, y_init=None):
+    """CD-k positive/negative statistics.
+
+    Returns (pos, neg) pytrees of RBMParams-shaped expected sufficient
+    statistics (batch-meaned), plus the final (v, y) state for PCD chains.
+    Standard Hinton recipe: binary hidden samples drive the chain, mean-field
+    probabilities enter the statistics.
+    """
+    B = v0.shape[0]
+    ph0 = _hidden_prob(params, v0, y_onehot)
+
+    v, y = (v0, y_onehot) if v_init is None else (v_init, y_init)
+
+    def gibbs(carry, k_step):
+        v, y = carry
+        kh, kv, ky = jax.random.split(k_step, 3)
+        h = jax.random.bernoulli(kh, _hidden_prob(params, v, y)).astype(jnp.float32)
+        pv = _visible_prob(params, h)
+        v = jax.random.bernoulli(kv, pv).astype(jnp.float32)
+        py = _class_prob(params, h)
+        y = jax.nn.one_hot(jax.random.categorical(ky, jnp.log(py + 1e-12)), py.shape[-1])
+        return (v, y), None
+
+    (vk, yk), _ = jax.lax.scan(gibbs, (v, y), jax.random.split(key, k))
+    phk = _hidden_prob(params, vk, yk)
+
+    def stats(v, y, ph):
+        return RBMParams(
+            weights=v.T @ ph / B,
+            visible_bias=v.mean(axis=0),
+            hidden_bias=ph.mean(axis=0),
+            class_bias=y.mean(axis=0),
+            class_weights=y.T @ ph / B,
+        )
+
+    return stats(v0, y_onehot, ph0), stats(vk, yk, phk), (vk, yk)
+
+
+# ---------------------------------------------------------------------------
+# Training steps
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    num_classes: int,
+    method: str = "discriminative",
+    cd_k: int = 1,
+    sparse_constant: float = 0.0,
+    generative_factor: float = 0.0,
+):
+    """Build a jitted step: (params, key, x, y, lr) → (params, loss).
+
+    method: 'discriminative' (exact gradient, reference behavior),
+    'generative' (CD-k), or 'hybrid' (disc + generative_factor · CD-k,
+    the reference CLI's documented-but-unimplemented mode).
+    """
+
+    def step(params: RBMParams, key, x, y, lr):
+        updates = jax.tree.map(jnp.zeros_like, params)
+        loss = jnp.float32(0.0)
+        if method in ("discriminative", "hybrid"):
+            nll, grad = jax.value_and_grad(discriminative_nll)(params, x, y)
+            updates = jax.tree.map(lambda u, g: u - g, updates, grad)
+            loss = nll
+        if method in ("generative", "hybrid"):
+            factor = generative_factor if method == "hybrid" else 1.0
+            y_onehot = jax.nn.one_hot(y.astype(jnp.int32), num_classes)
+            pos, neg, _ = cd_stats(params, key, x, y_onehot, cd_k)
+            updates = jax.tree.map(lambda u, p, n: u + factor * (p - n), updates, pos, neg)
+            if method == "generative":
+                loss = jnp.mean((x - _visible_prob(params, _hidden_prob(params, x, y_onehot))) ** 2)
+        new = jax.tree.map(lambda p, u: p + lr * u, params, updates)
+        # sparsity shrinkage on biases, reference ``update_weights``
+        # (``src/ClassificationRBM.py:96-99``)
+        if sparse_constant:
+            new = dataclasses.replace(
+                new,
+                visible_bias=new.visible_bias - sparse_constant,
+                hidden_bias=new.hidden_bias - sparse_constant,
+                class_bias=new.class_bias - sparse_constant,
+            )
+        return new, loss
+
+    return jax.jit(step)
+
+
+def make_epoch_scan(step_fn):
+    """Whole-epoch driver: pre-batched (N_b, B, V) / (N_b, B) arrays scanned
+    on device — the throughput path for the CD-1 MNIST benchmark."""
+
+    @jax.jit
+    def epoch(params: RBMParams, key, xb, yb, lr):
+        def body(carry, xy):
+            params, key = carry
+            key, k = jax.random.split(key)
+            x, y = xy
+            params, loss = step_fn(params, k, x, y, lr)
+            return (params, key), loss
+
+        (params, key), losses = jax.lax.scan(body, (params, key), (xb, yb))
+        return params, losses.mean()
+
+    return epoch
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrapper (reference API surface)
+# ---------------------------------------------------------------------------
+
+
+class ClassificationRBM:
+    def __init__(
+        self,
+        num_visible: int,
+        num_hidden: int,
+        k: int = 1,
+        num_classes: int = 2,
+        learning_rate: float = 0.05,
+        sparse_constant: float = 0.0,
+        seed: int = 42,
+        method: str = "discriminative",
+        generative_factor: float = 0.0,
+    ):
+        self.num_visible = num_visible
+        self.num_hidden = num_hidden
+        self.k = k
+        self.num_classes = num_classes
+        self.learning_rate = learning_rate
+        self.seed = seed
+        self.method = method
+        self.key = jax.random.key(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(init_key, num_visible, num_hidden, num_classes)
+        self._step = make_train_step(
+            num_classes, method=method, cd_k=k, sparse_constant=sparse_constant,
+            generative_factor=generative_factor,
+        )
+        self.acc_per_epoch_list: list[float] = []
+        self.auc_per_epoch_list: list[float] = []
+
+    def train_rbm(self, train_x, train_y, epochs, batch_size, test_x=None, test_y=None,
+                  shuffle=True):
+        """Epoch loop with per-epoch test accuracy/AUC, like the reference
+        ``train_rbm`` (``src/ClassificationRBM.py:159-205``)."""
+        from qbmx.utils.metrics import accuracy_and_auc
+
+        x = jnp.asarray(train_x, jnp.float32)
+        y = jnp.asarray(np.asarray(train_y))
+        n = x.shape[0]
+        loss_list, nll_list = [], []
+        epoch_fn = make_epoch_scan(self._step)
+        for _ in range(epochs):
+            if shuffle:
+                self.key, kp = jax.random.split(self.key)
+                perm = jax.random.permutation(kp, n)
+                xs, ys = x[perm], y[perm]
+            else:
+                xs, ys = x, y
+            nb = n // batch_size
+            xb = xs[: nb * batch_size].reshape(nb, batch_size, -1)
+            yb = ys[: nb * batch_size].reshape(nb, batch_size)
+            self.key, ke = jax.random.split(self.key)
+            self.params, mean_loss = epoch_fn(self.params, ke, xb, yb, self.learning_rate)
+            # remainder batch (reference trains it too)
+            if n % batch_size:
+                self.key, kr = jax.random.split(self.key)
+                self.params, _ = self._step(
+                    self.params, kr, xs[nb * batch_size :], ys[nb * batch_size :],
+                    self.learning_rate,
+                )
+            loss_list.append(float(mean_loss))
+            nll_list.append(float(mean_loss))
+            if test_x is not None:
+                preds = self.predict(test_x)
+                acc, auc = accuracy_and_auc(np.asarray(test_y), preds)
+                self.acc_per_epoch_list.append(acc)
+                self.auc_per_epoch_list.append(auc)
+        return loss_list, self, nll_list
+
+    def predict(self, x):
+        probs = predict_proba(self.params, jnp.asarray(x, jnp.float32))
+        return np.asarray(jnp.argmax(probs, axis=-1))
+
+    def run_test_set(self, x, y):
+        from qbmx.utils.metrics import accuracy_and_auc
+
+        preds = self.predict(x)
+        return accuracy_and_auc(np.asarray(y), preds)
+
+    def get_num_params(self):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))

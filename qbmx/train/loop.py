@@ -1,0 +1,126 @@
+"""Epoch/batch training driver for QBM-family models.
+
+Mirrors the reference ``Disc_QBM.train_model`` behavior
+(``src/model/faster_dqbm.py:1079-1166``): per-batch clamped+unclamped
+moment-matching updates, per-epoch validation accuracy/AUC (+ their 50/50
+combination), per-epoch weight checkpoints, crash-save of weights+history on
+batch failure, and per-seed acc/auc pickles.  Differences by design:
+
+  * partial final batches are padded + masked inside one jitted step rather
+    than tracing a second program per ragged shape;
+  * validation prediction is one batched device call, not a Python loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from qbmx.utils.metrics import History, get_metrics, save_history
+
+
+def _pad_batch(x, y, batch_size):
+    n = x.shape[0]
+    if n == batch_size:
+        return x, y, np.ones(n, dtype="float32")
+    pad = batch_size - n
+    xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+    mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+    return xp, yp, mask
+
+
+def train_model(
+    model,
+    train_X,
+    train_Y,
+    val_X=None,
+    val_Y=None,
+    batch_size: int = 8,
+    learning_rate: float = 0.005,
+    epochs: int | None = None,
+    save_folder: str | None = None,
+    class_titles=("0", "1"),
+    verbose: bool = True,
+    history: History | None = None,
+) -> History:
+    train_X = np.asarray(train_X, dtype="float32")
+    train_Y = np.asarray(train_Y)
+    epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
+    history = history if history is not None else getattr(model, "training_history", None) or History()
+    model.training_history = history
+
+    if save_folder:
+        Path(save_folder).mkdir(parents=True, exist_ok=True)
+
+    n = len(train_X)
+    num_batches = max(n // batch_size, 1)
+
+    for epoch in range(1, epochs + 1):
+        epoch_errors = 0.0
+        epoch_nll = 0.0
+        batchnum = 1
+        for b in range(0, n, batch_size):
+            x_batch = train_X[b : b + batch_size]
+            y_batch = train_Y[b : b + batch_size]
+            if len(x_batch) == 0:
+                continue
+            xp, yp, mask = _pad_batch(x_batch, y_batch, batch_size)
+            try:
+                err, nll = model.train_for_one_iteration(xp, yp, learning_rate, mask=mask)
+            except Exception:
+                # crash insurance: checkpoint weights + history, then re-raise
+                # (reference ``src/model/faster_dqbm.py:1128-1132``)
+                if save_folder:
+                    model.save_weights(f"e{epoch}_b{batchnum}_crash", save_folder)
+                    save_history(f"{save_folder}/", history)
+                raise
+            epoch_errors += err
+            epoch_nll += nll
+            history.errors_per_batch.append(err)
+            history.nll_per_batch.append(nll)
+            batchnum += 1
+
+        if save_folder:
+            model.save_weights(f"e{epoch}", save_folder)
+
+        if val_X is not None:
+            preds, _ = model.predict_batch(np.asarray(val_X, dtype="float32"))
+            acc, _, _, _, auc = get_metrics(val_Y, preds, list(class_titles))
+            history.acc_per_epoch.append(acc)
+            history.auc_per_epoch.append(auc)
+            history.combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+            if verbose:
+                print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}  "
+                      f"val_acc={acc:.4f}  val_auc={auc:.4f}")
+        elif verbose:
+            print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}")
+
+        history.error_per_epoch.append(epoch_errors / num_batches)
+        history.nll_per_epoch.append(epoch_nll / num_batches)
+
+    if save_folder:
+        seed = getattr(model, "seed", 0)
+        for name, series in (
+            (f"acc_per_epoch{seed}.pkl", history.acc_per_epoch),
+            (f"auc_per_epoch{seed}.pkl", history.auc_per_epoch),
+            (f"combined_acc_auc_per_epoch{seed}.pkl", history.combined_acc_auc_per_epoch),
+        ):
+            with open(Path(save_folder) / name, "wb") as f:
+                pickle.dump(series, f)
+
+    return history
+
+
+def get_best_combined_acc_auc(history: History):
+    """Best-epoch summary (reference ``get_best_combined_acc_auc``,
+    ``src/model/faster_dqbm.py:1334-1339``)."""
+    best_epoch = int(np.argmax(history.combined_acc_auc_per_epoch))
+    return (
+        best_epoch,
+        history.acc_per_epoch[best_epoch],
+        history.auc_per_epoch[best_epoch],
+        history.combined_acc_auc_per_epoch[best_epoch],
+    )

@@ -1,0 +1,219 @@
+"""Flat Disc_QBM: QUBO builders vs hand-computed matrices, moment estimation
+vs naive per-example loops, and a small end-to-end training run that must
+learn a separable toy problem (SURVEY.md §4 test pyramid)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.models.dqbm import (
+    DiscQBM,
+    DQBMParams,
+    clamped_moments,
+    clamped_qubo,
+    init_params,
+    unclamped_moments,
+    unclamped_qubo,
+)
+from qbmx.samplers.api import GibbsSampler
+from qbmx.train.loop import train_model
+
+
+def small_params(rng, D=4, H=3, O=1, restricted=False):
+    u = lambda shape: rng.uniform(-1, 1, shape).astype("float32")
+    return DQBMParams(
+        w_vh=jnp.asarray(u((O + D, H))),
+        w_vo=jnp.asarray(u((D, O))),
+        w_oo=jnp.triu(jnp.asarray(u((O, O))), k=1),
+        b_h=jnp.asarray(u((H,))),
+        b_o=jnp.asarray(u((O,))),
+        w_hh=jnp.triu(jnp.asarray(u((H, H))), k=1) if not restricted else jnp.zeros((H, H)),
+    )
+
+
+class TestQuboBuilders:
+    def test_clamped_matches_reference_structure(self, rng):
+        """Clamped H×H QUBO: diag = b_h + concat(label, x)·W_vh, upper = W_hh,
+        all / beta_eff (reference ``create_qubo_matrix_from`` clamped branch,
+        ``src/model/faster_dqbm.py:233-246``)."""
+        D, H, O = 4, 3, 1
+        p = small_params(rng, D, H, O)
+        x = rng.uniform(0, 1, D).astype("float32")
+        y = np.asarray([1.0], dtype="float32")
+        beta = 2.0
+        Q = np.asarray(clamped_qubo(p, jnp.asarray(x), jnp.asarray(y), beta))
+
+        v = np.concatenate([y, x])
+        expected = np.diag(np.asarray(p.b_h) + v @ np.asarray(p.w_vh)) + np.triu(
+            np.asarray(p.w_hh), k=1
+        )
+        expected = expected / beta
+        assert Q.shape == (H, H)
+        assert np.allclose(Q, expected, atol=1e-5)
+
+    def test_unclamped_matches_reference_structure(self, rng):
+        """Unclamped (O+H)² QUBO layout (reference ``create_qubo_matrix_from``
+        unclamped branch, ``src/model/faster_dqbm.py:255-284``)."""
+        D, H, O = 5, 3, 2
+        p = small_params(rng, D, H, O)
+        x = rng.uniform(0, 1, D).astype("float32")
+        beta = 1.5
+        Q = np.asarray(unclamped_qubo(p, jnp.asarray(x), beta))
+
+        n = O + H
+        expected = np.zeros((n, n))
+        expected[:O, :O] += np.triu(np.asarray(p.w_oo), k=1)
+        expected[:O, O:] += np.asarray(p.w_vh)[:O]
+        expected[O:, O:] += np.triu(np.asarray(p.w_hh), k=1)
+        diag = np.concatenate(
+            [
+                np.asarray(p.b_o) + x @ np.asarray(p.w_vo),
+                np.asarray(p.b_h) + x @ np.asarray(p.w_vh)[O:],
+            ]
+        )
+        expected += np.diag(diag)
+        expected /= beta
+        assert np.allclose(Q, expected, atol=1e-5)
+
+    def test_restricted_clamped_is_diagonal(self, rng):
+        p = small_params(rng, 4, 3, 1, restricted=True)
+        Q = np.asarray(
+            clamped_qubo(p, jnp.asarray(rng.uniform(0, 1, 4), dtype=jnp.float32),
+                         jnp.asarray([0.0]), 1.0)
+        )
+        assert np.allclose(Q - np.diag(np.diag(Q)), 0.0)
+
+
+class TestMoments:
+    def test_clamped_vs_naive(self, rng):
+        """Vectorized clamped stats == the reference's correct per-example
+        estimator (``get_average_configuration``,
+        ``src/model/faster_dqbm.py:688-752``) with the label-first row order
+        of the weight matrix."""
+        B, R, D, H, O = 3, 16, 4, 3, 1
+        s_h = jnp.asarray(rng.integers(0, 2, (B, R, H)), dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (B, D)), dtype=jnp.float32)
+        yv = jnp.asarray(rng.integers(0, 2, (B, O)), dtype=jnp.float32)
+        m = clamped_moments(s_h, x, yv)
+
+        for b in range(B):
+            S = np.asarray(s_h[b])
+            Eh = S.mean(axis=0)
+            v = np.concatenate([np.asarray(yv[b]), np.asarray(x[b])])
+            assert np.allclose(m.b_h[b], Eh, atol=1e-5)
+            assert np.allclose(m.b_o[b], yv[b])
+            assert np.allclose(m.w_vh[b], np.outer(v, Eh), atol=1e-5)
+            assert np.allclose(m.w_vo[b], np.outer(np.asarray(x[b]), np.asarray(yv[b])), atol=1e-5)
+            Ehh = S.T @ S / R
+            assert np.allclose(m.w_hh[b], np.triu(Ehh, k=1), atol=1e-5)
+
+    def test_unclamped_vs_naive(self, rng):
+        B, R, D, H, O = 2, 32, 4, 3, 2
+        s = jnp.asarray(rng.integers(0, 2, (B, R, O + H)), dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (B, D)), dtype=jnp.float32)
+        m = unclamped_moments(s, x, O)
+
+        for b in range(B):
+            S = np.asarray(s[b])
+            y_s, h_s = S[:, :O], S[:, O:]
+            assert np.allclose(m.b_o[b], y_s.mean(axis=0), atol=1e-5)
+            assert np.allclose(m.b_h[b], h_s.mean(axis=0), atol=1e-5)
+            # label rows carry the sampled pair statistic E[y_o h_j]
+            assert np.allclose(m.w_vh[b][:O], y_s.T @ h_s / R, atol=1e-5)
+            assert np.allclose(
+                m.w_vh[b][O:], np.outer(np.asarray(x[b]), h_s.mean(axis=0)), atol=1e-5
+            )
+            assert np.allclose(m.w_oo[b], np.triu(y_s.T @ y_s / R, k=1), atol=1e-5)
+
+
+class TestGradientSanity:
+    def test_gradient_matches_exact_likelihood_direction(self, rng):
+        """The clamped−unclamped moment diff must equal the true gradient of
+        −log p(y|x) of the Boltzmann machine when samples are exact.  Verified
+        numerically: update with exact-oracle samples decreases exact NLL."""
+        from qbmx.samplers.api import ExactSampler
+
+        D, H = 3, 2
+        model = DiscQBM(
+            dim_input=D, n_hidden_nodes=H, seed=0, sample_count=512,
+            beta_eff=1.0, restricted=False, sampler=ExactSampler(),
+        )
+        rngl = np.random.default_rng(1)
+        x = rngl.uniform(0, 1, (8, D)).astype("float32")
+        w_true = rngl.uniform(-1, 1, D)
+        y = (x @ w_true > np.median(x @ w_true)).astype("float32")
+
+        nlls = []
+        for _ in range(15):
+            _, nll = model.train_for_one_iteration(x, y, learning_rate=0.4)
+            nlls.append(nll)
+        assert nlls[-1] < nlls[0]
+
+    def test_restricted_keeps_whh_zero(self, rng):
+        from qbmx.samplers.api import ExactSampler
+
+        model = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=64,
+                        restricted=True, sampler=ExactSampler())
+        x = rng.uniform(0, 1, (4, 3)).astype("float32")
+        y = np.asarray([0, 1, 0, 1], dtype="float32")
+        model.train_for_one_iteration(x, y, 0.1)
+        assert np.allclose(np.asarray(model.params.w_hh), 0.0)
+
+
+class TestEndToEnd:
+    def test_learns_toy_problem(self):
+        """Small separable problem: training must push accuracy well above
+        chance within a few epochs (statistical parity philosophy: final
+        metrics, not bitwise streams)."""
+        rngl = np.random.default_rng(3)
+        D = 6
+        n = 60
+        x = rngl.uniform(0, 1, (n, D)).astype("float32")
+        w_true = np.asarray([2.0, -2.0, 1.5, -1.5, 1.0, -1.0])
+        y = (x @ w_true > 0).astype("float32")
+
+        model = DiscQBM(
+            dim_input=D, n_hidden_nodes=3, seed=7, sample_count=128,
+            anneal_steps=30, beta_eff=1.0, restricted=False,
+            sampler=GibbsSampler(num_warmup=24),
+        )
+        history = train_model(
+            model, x, y, x, y, batch_size=20, learning_rate=0.5, epochs=8,
+            verbose=False,
+        )
+        assert max(history.acc_per_epoch) >= 0.75
+
+    def test_checkpoint_roundtrip(self, tmp_path, rng):
+        model = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=16,
+                        restricted=False)
+        model.save_weights("ckpt", str(tmp_path))
+        model2 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=1, sample_count=16,
+                         restricted=False)
+        model2.load_savepoint(str(tmp_path / "ckpt.pkl"))
+        for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(model2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_load_reference_style_5tuple(self, tmp_path):
+        """Restricted (5-tuple) reference checkpoints load too
+        (``src/model/faster_dqbm.py:169-190``)."""
+        import pickle
+
+        D, H, O = 4, 3, 1
+        rngl = np.random.default_rng(0)
+        objs = [
+            rngl.uniform(-1, 1, (O + D, H)),
+            rngl.uniform(-1, 1, (D, O)),
+            rngl.uniform(-1, 1, H),
+            rngl.uniform(-1, 1, O),
+            np.triu(rngl.uniform(-1, 1, (O, O)), k=1),
+        ]
+        path = tmp_path / "ref.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(objs, f)
+        model = DiscQBM(dim_input=D, n_hidden_nodes=H, seed=0, restricted=True,
+                        load_path=str(path))
+        assert np.allclose(np.asarray(model.params.w_vh), objs[0])
+        assert np.allclose(np.asarray(model.params.w_hh), 0.0)

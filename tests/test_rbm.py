@@ -1,0 +1,138 @@
+"""Discriminative RBM: exact-gradient equivalence, CD-k sanity, end-to-end
+learning on a toy problem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbmx.models.rbm import (
+    ClassificationRBM,
+    RBMParams,
+    cd_stats,
+    class_logits,
+    discriminative_nll,
+    init_params,
+    make_train_step,
+    predict_proba,
+)
+
+
+def toy_data(rng, n=120, D=10):
+    x = (rng.uniform(0, 1, (n, D)) > 0.5).astype("float32")
+    w = rng.normal(size=D)
+    y = (x @ w > np.median(x @ w)).astype("int32")
+    return x, y
+
+
+class TestExactDiscriminative:
+    def test_class_probs_match_bruteforce(self, rng):
+        """p(y|x) from the softplus closed form equals brute-force
+        marginalization over all hidden configurations."""
+        D, H, C = 4, 3, 2
+        params = init_params(jax.random.key(0), D, H, C)
+        params = RBMParams(
+            weights=jnp.asarray(rng.normal(size=(D, H)), dtype=jnp.float32),
+            visible_bias=jnp.asarray(rng.normal(size=D), dtype=jnp.float32),
+            hidden_bias=jnp.asarray(rng.normal(size=H), dtype=jnp.float32),
+            class_bias=jnp.asarray(rng.normal(size=C), dtype=jnp.float32),
+            class_weights=jnp.asarray(rng.normal(size=(C, H)), dtype=jnp.float32),
+        )
+        x = jnp.asarray(rng.integers(0, 2, (5, D)), dtype=jnp.float32)
+        probs = np.asarray(predict_proba(params, x))
+
+        # brute force: p(y|x) ∝ Σ_h exp(-E(x,h,y)) with
+        # -E = x·W·h + c·h + d_y + h·U_y  (visible bias cancels in y-posterior)
+        H_states = np.asarray([[int(b) for b in f"{i:0{H}b}"] for i in range(2**H)], dtype=float)
+        W = np.asarray(params.weights)
+        c = np.asarray(params.hidden_bias)
+        d = np.asarray(params.class_bias)
+        U = np.asarray(params.class_weights)
+        for i in range(x.shape[0]):
+            xi = np.asarray(x[i])
+            un = np.zeros(C)
+            for yv in range(C):
+                for h in H_states:
+                    un[yv] += np.exp(xi @ W @ h + c @ h + d[yv] + U[yv] @ h)
+            un /= un.sum()
+            assert np.allclose(probs[i], un, rtol=1e-4, atol=1e-5)
+
+    def test_exact_gradient_matches_finite_difference(self, rng):
+        D, H, C = 3, 2, 2
+        params = init_params(jax.random.key(1), D, H, C)
+        x = jnp.asarray(rng.integers(0, 2, (6, D)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, C, 6), dtype=jnp.int32)
+        grad = jax.grad(discriminative_nll)(params, x, y)
+
+        eps = 1e-3
+        w = np.asarray(params.weights).copy()
+        w_fd = np.zeros_like(w)
+        for i in range(D):
+            for j in range(H):
+                wp, wm = w.copy(), w.copy()
+                wp[i, j] += eps
+                wm[i, j] -= eps
+                pp = discriminative_nll(
+                    RBMParams(jnp.asarray(wp), params.visible_bias, params.hidden_bias,
+                              params.class_bias, params.class_weights), x, y)
+                pm = discriminative_nll(
+                    RBMParams(jnp.asarray(wm), params.visible_bias, params.hidden_bias,
+                              params.class_bias, params.class_weights), x, y)
+                w_fd[i, j] = (float(pp) - float(pm)) / (2 * eps)
+        assert np.allclose(np.asarray(grad.weights), w_fd, atol=2e-3)
+
+    def test_visible_bias_untouched_by_discriminative(self, rng):
+        """Reference sets visible_bias_grad = 0 in discriminative training
+        (``src/ClassificationRBM.py:140``); jax.grad gives the same for free."""
+        params = init_params(jax.random.key(2), 4, 3, 2)
+        x = jnp.asarray(rng.integers(0, 2, (5, 4)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 5), dtype=jnp.int32)
+        grad = jax.grad(discriminative_nll)(params, x, y)
+        assert np.allclose(np.asarray(grad.visible_bias), 0.0)
+
+
+class TestCD:
+    def test_cd_stats_shapes_and_ranges(self, rng):
+        D, H, C, B = 6, 4, 2, 8
+        params = init_params(jax.random.key(3), D, H, C)
+        v = jnp.asarray(rng.integers(0, 2, (B, D)), dtype=jnp.float32)
+        y = jax.nn.one_hot(jnp.asarray(rng.integers(0, C, B)), C)
+        pos, neg, (vk, yk) = cd_stats(params, jax.random.key(4), v, y, k=2)
+        assert pos.weights.shape == (D, H) and neg.weights.shape == (D, H)
+        assert vk.shape == (B, D)
+        assert set(np.unique(np.asarray(vk))) <= {0.0, 1.0}
+        assert np.all(np.asarray(pos.hidden_bias) >= 0) and np.all(np.asarray(pos.hidden_bias) <= 1)
+
+    def test_generative_training_reconstructs(self, rng):
+        """CD-1 on a two-mode dataset should lower reconstruction error."""
+        D = 8
+        modes = np.asarray([[1, 1, 1, 1, 0, 0, 0, 0], [0, 0, 0, 0, 1, 1, 1, 1]], dtype="float32")
+        idx = rng.integers(0, 2, 200)
+        x = jnp.asarray(modes[idx])
+        y = jnp.asarray(idx, dtype=jnp.int32)
+        step = make_train_step(2, method="generative", cd_k=1)
+        params = init_params(jax.random.key(5), D, 6, 2)
+        key = jax.random.key(6)
+        first = None
+        for i in range(60):
+            key, k = jax.random.split(key)
+            params, loss = step(params, k, x, y, 0.2)
+            if i == 0:
+                first = float(loss)
+        assert float(loss) < first
+
+
+class TestEndToEnd:
+    def test_learns_toy_problem(self, rng):
+        x, y = toy_data(rng)
+        rbm = ClassificationRBM(num_visible=10, num_hidden=8, k=1, num_classes=2,
+                                learning_rate=0.2, seed=0)
+        rbm.train_rbm(x, y, epochs=12, batch_size=10, test_x=x, test_y=y)
+        assert max(rbm.acc_per_epoch_list) > 0.85
+
+    def test_hybrid_mode_runs(self, rng):
+        x, y = toy_data(rng, n=40)
+        rbm = ClassificationRBM(num_visible=10, num_hidden=4, k=1, num_classes=2,
+                                learning_rate=0.1, seed=0, method="hybrid",
+                                generative_factor=0.01)
+        loss_list, _, _ = rbm.train_rbm(x, y, epochs=2, batch_size=10)
+        assert len(loss_list) == 2
