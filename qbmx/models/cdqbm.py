@@ -1,0 +1,500 @@
+"""Convolutional Deep discriminative QBM (CDQBM), TPU-native.
+
+Capability parity with the reference's modular generation
+(``src/model/cdqbm_state.py`` + ``src/model/{geometry,layers,inference}.py``
++ ``src/qubo/builder.py`` + ``src/train/train.py``): one shared k×k conv
+kernel slid over the image (each conv unit = one patch), pooling windows
+over the conv feature map — deterministic (per-window argmin unit enters the
+QUBO) or probabilistic (dedicated pool variables with at-most-one + OR-link
+QUBO penalties, constant 0.8225) — dense "sequential" hidden layers, and
+label node(s), trained with clamped/unclamped moment matching.
+
+TPU-first design decisions:
+  * All geometry is static (``StackGeometry``); the data-dependent pooling
+    choice is an argmin + gather with fixed shapes, so the whole train step
+    is a single jitted computation vmapped over the batch (the reference
+    builds Python-list QUBOs per example, ``src/qubo/builder.py:21-110``).
+  * The conv feature map is computed from a per-unit patch gather table;
+    the same gathered patches serve the kernel gradient (patch × E[h]
+    accumulation, reference ``src/train/train.py:188-192``).
+  * Probabilistic-pooling penalties are a constant matrix added once.
+
+Documented deviations from reference bugs:
+  * per-unit hidden biases are actually applied (the reference's
+    ``_conv_linear_terms`` silently drops them, ``src/qubo/builder.py:8-10``);
+  * for probabilistic pooling, kernel gradients and per-unit conv-bias
+    gradients use the conv-unit marginals (mathematically correct; the
+    reference indexes patch tables with pool-var indices — its own
+    "TODO: not working with probabilistic pooling",
+    ``src/train/train.py:186``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbmx.models.geometry import StackGeometry, patch_index_grid
+from qbmx.samplers.api import Sampler, get_sampler
+
+# Probabilistic pooling penalty strength, hard-coded in both reference
+# generations (``src/model/cdqbm.py:69``, ``src/qubo/builder.py:26-27``).
+PROB_POOL_PENALTY = 0.8225
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CDQBMParams:
+    kernel: jax.Array  # (k, k)
+    w_seq: tuple  # per layer: (prev_active, size)
+    w_seq_intra: tuple  # per layer: (size, size) strictly upper; zeros if restricted
+    w_h2o: jax.Array  # (last_hidden, n_out)
+    w_oo: jax.Array  # (n_out, n_out) strictly upper
+    b_conv: jax.Array  # (1,) shared | (num_conv_units,) per-unit | (1,) zeros for "none"
+    b_seq: jax.Array  # (sum(seq),)
+    b_o: jax.Array  # (n_out,)
+
+
+def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool) -> CDQBMParams:
+    """U(-1,1) init following ``Conv_Deep_QBM.init_weights``/``init_biases``
+    (``src/model/cdqbm_state.py:140-190``)."""
+    ks = iter(jax.random.split(key, 8 + 2 * len(geo.seq_sizes)))
+    u = lambda shape: jax.random.uniform(next(ks), shape, jnp.float32, -1.0, 1.0)
+    k = geo.kernel_size
+
+    w_seq, w_seq_intra = [], []
+    prev = geo.n_pooled
+    for size in geo.seq_sizes:
+        w_seq.append(u((prev, size)))
+        w_seq_intra.append(
+            jnp.triu(u((size, size)), k=1) if not restricted else jnp.zeros((size, size))
+        )
+        prev = size
+
+    if hidden_bias_type == "shared":
+        b_conv = u((1,))
+    elif hidden_bias_type == "none":
+        b_conv = jnp.zeros((1,))
+    else:  # per-unit
+        b_conv = u((geo.num_conv_units,))
+
+    return CDQBMParams(
+        kernel=u((k, k)),
+        w_seq=tuple(w_seq),
+        w_seq_intra=tuple(w_seq_intra),
+        w_h2o=u((geo.last_hidden_size, geo.n_out)),
+        w_oo=jnp.triu(u((geo.n_out, geo.n_out)), k=1),
+        b_conv=b_conv,
+        b_seq=u((sum(geo.seq_sizes),)) if geo.seq_sizes else jnp.zeros((0,)),
+        b_o=u((geo.n_out,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Static penalty matrix (probabilistic pooling)
+# ---------------------------------------------------------------------------
+
+
+def build_penalty_matrix(geo: StackGeometry, penalty: float = PROB_POOL_PENALTY) -> np.ndarray:
+    """(n_hidden, n_hidden) constant upper-triangular penalty terms:
+    pairwise at-most-one within each window (``add_at_most_one_penalty_upper``,
+    ``src/qubo/builder.py:116-124``) and the OR-link between each window's
+    conv units and its pool variable (``add_link_penalty_upper``,
+    ``src/qubo/builder.py:127-147``)."""
+    P = np.zeros((geo.n_hidden, geo.n_hidden), dtype=np.float32)
+    if geo.pooling_type != "probabilistic" or not geo.has_pooling:
+        return P
+    windows = geo.pool_windows
+    p_start = geo.conv_active  # first pool-var index
+    for g, ids in enumerate(windows):
+        ids = np.asarray(ids, dtype=int)
+        # at-most-one among the window's conv units
+        ii, jj = np.triu_indices(len(ids), k=1)
+        P[ids[ii], ids[jj]] += penalty
+        # OR-link: pool var on iff some unit on
+        pv = p_start + g
+        P[pv, pv] += penalty
+        P[ids, ids] += penalty
+        P[ids, pv] += -2.0 * penalty  # ids < pv always (conv block precedes pool vars)
+    return P
+
+
+# ---------------------------------------------------------------------------
+# Per-example context + QUBO assembly (pure jax, vmappable)
+# ---------------------------------------------------------------------------
+
+
+class CDQBM:
+    """Stateful model holding static geometry + parameter pytree, with the
+    reference API surface (train via qbmx.train.loop, predict, save/load)."""
+
+    def __init__(
+        self,
+        image_shape=(28, 28),
+        num_label_nodes: int = 1,
+        seed: int = 77,
+        kernel_size: int = 3,
+        pooling_size: int = 0,
+        pooling_type: str = "deterministic",
+        stride: int = 1,
+        sequential_layer_sizes=None,
+        is_restricted: bool = False,
+        hidden_bias_type: str = "none",
+        solver: str = "SA",
+        anneal: int = 1000,
+        sample_count: int = 100,
+        beta_eff: float = 1.0,
+        sampler: Sampler | None = None,
+        load_path: str = "",
+        num_classes: int = 2,
+    ):
+        self.geo = StackGeometry(
+            image_shape=tuple(image_shape),
+            kernel_size=kernel_size,
+            stride=stride,
+            pooling_size=pooling_size,
+            pooling_type=pooling_type,
+            seq_sizes=tuple(sequential_layer_sizes or []),
+            n_out=num_label_nodes,
+        )
+        self.seed = seed
+        self.num_classes = num_classes
+        self.n_output_nodes = num_label_nodes
+        self.n_hidden_nodes = self.geo.n_hidden
+        self.dim_input = image_shape[0] * image_shape[1]
+        self.use_one_hot_encoding = num_label_nodes > 1
+        self.is_restricted = is_restricted
+        self.hidden_bias_type = hidden_bias_type
+        self.sample_count = sample_count
+        self.beta_eff = float(beta_eff)
+        self.solver_string = solver
+        self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
+
+        # static tables
+        self.patch_idx = jnp.asarray(patch_index_grid(image_shape, kernel_size, stride))
+        self.windows = jnp.asarray(self.geo.pool_windows) if self.geo.has_pooling else None
+        self.penalty_hidden = jnp.asarray(build_penalty_matrix(self.geo))
+
+        self.key = jax.random.key(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(init_key, self.geo, hidden_bias_type, is_restricted)
+        if load_path:
+            self.load_params(load_path)
+
+        self._step = jax.jit(self._step_fn)
+        self._predict_probs = jax.jit(self._predict_fn)
+        self.training_history = None
+
+    # -- context -------------------------------------------------------------
+
+    def _context(self, params: CDQBMParams, x_img: jax.Array):
+        """fmap + pooled indices + gathered patches for one image (the
+        jax-native ``prepare_context``, ``src/model/inference.py:16-44``)."""
+        geo = self.geo
+        patches = x_img.reshape(-1)[self.patch_idx]  # (num_conv, k, k)
+        fmap_flat = jnp.einsum("ukl,kl->u", patches, params.kernel, precision="highest")
+        if geo.pooling_type == "deterministic" and geo.has_pooling:
+            wf = fmap_flat[self.windows]  # (n_win, p*p)
+            amin = jnp.argmin(wf, axis=1)
+            pooled_idx = self.windows[jnp.arange(self.windows.shape[0]), amin]
+        else:
+            pooled_idx = jnp.arange(geo.num_conv_units)
+        return fmap_flat, pooled_idx, patches
+
+    def _conv_linear_terms(self, params: CDQBMParams, fmap_flat, pooled_idx):
+        """Linear biases for the conv block (``_conv_linear_terms``,
+        ``src/qubo/builder.py:3-19``; per-unit biases actually applied here)."""
+        geo = self.geo
+        if geo.pooling_type == "deterministic" and geo.has_pooling:
+            base = fmap_flat[pooled_idx]
+            if self.hidden_bias_type == "shared":
+                base = base + params.b_conv[0]
+            elif self.hidden_bias_type == "per-unit":
+                base = base + params.b_conv[pooled_idx]
+            return base
+        base = fmap_flat
+        if self.hidden_bias_type == "shared":
+            base = base + params.b_conv[0]
+        elif self.hidden_bias_type == "per-unit":
+            base = base + params.b_conv
+        return base
+
+    # -- QUBO builders -------------------------------------------------------
+
+    def _hidden_block(self, params: CDQBMParams, conv_bias: jax.Array) -> jax.Array:
+        """Shared (n_hidden, n_hidden) upper-triangular hidden-block assembly
+        (conv diag, sequential inter/intra-layer weights, sequential biases,
+        probabilistic-pooling penalties)."""
+        geo = self.geo
+        n = geo.n_hidden
+        Q = jnp.zeros((n, n))
+        Q = Q + self.penalty_hidden
+        cs = geo.conv_slice
+        Q = Q.at[jnp.arange(cs.start, cs.stop), jnp.arange(cs.start, cs.stop)].add(conv_bias)
+
+        prev_sl = geo.pool_slice
+        for li, cur_sl in enumerate(geo.seq_slices):
+            Q = Q.at[prev_sl, cur_sl].add(params.w_seq[li])
+            if not self.is_restricted:
+                Q = Q.at[cur_sl, cur_sl].add(jnp.triu(params.w_seq_intra[li], k=1))
+            prev_sl = cur_sl
+
+        if geo.seq_sizes:
+            seq_start = geo.conv_active + geo.n_pool_vars
+            idx = jnp.arange(seq_start, seq_start + sum(geo.seq_sizes))
+            Q = Q.at[idx, idx].add(params.b_seq)
+        return Q
+
+    def clamped_qubo(self, params: CDQBMParams, x_img, label_vec):
+        """(n_hidden, n_hidden) QUBO with the label clamped
+        (``build_clamped_qubo``, ``src/qubo/builder.py:74-110``)."""
+        geo = self.geo
+        fmap_flat, pooled_idx, _ = self._context(params, x_img)
+        Q = self._hidden_block(params, self._conv_linear_terms(params, fmap_flat, pooled_idx))
+        eff = (params.w_h2o @ label_vec.reshape(-1, 1)).reshape(-1)
+        ls = geo.last_hidden_slice
+        idx = jnp.arange(ls.start, ls.stop)
+        Q = Q.at[idx, idx].add(eff)
+        return Q / self.beta_eff
+
+    def unclamped_qubo(self, params: CDQBMParams, x_img):
+        """(n_total, n_total) QUBO with free label nodes
+        (``build_unclamped_qubo``, ``src/qubo/builder.py:21-71``)."""
+        geo = self.geo
+        fmap_flat, pooled_idx, _ = self._context(params, x_img)
+        Qh = self._hidden_block(params, self._conv_linear_terms(params, fmap_flat, pooled_idx))
+        n = geo.n_total
+        Q = jnp.zeros((n, n))
+        Q = Q.at[: geo.n_hidden, : geo.n_hidden].add(Qh)
+        Q = Q.at[geo.last_hidden_slice, geo.out_slice].add(params.w_h2o)
+        Q = Q.at[geo.out_slice, geo.out_slice].add(jnp.triu(params.w_oo, k=1))
+        oidx = jnp.arange(geo.n_hidden, n)
+        Q = Q.at[oidx, oidx].add(params.b_o)
+        return Q / self.beta_eff
+
+    # -- moment estimation ---------------------------------------------------
+
+    def _moments(self, params, samples, x_img, label_vec=None):
+        """Per-example expected sufficient statistics, shaped like the params
+        (modular reference ``get_average_configuration_single``,
+        ``src/train/train.py:135-253``, with the correct probabilistic-pooling
+        semantics — see module docstring)."""
+        geo = self.geo
+        unclamped = label_vec is None
+        R = samples.shape[0]
+        _, pooled_idx, patches = self._context(params, x_img)
+
+        full = samples  # (R, n_hidden [+ n_out])
+        stats = full[:, geo.stats_drop :]  # drop conv cols for probabilistic
+        E = stats.mean(axis=0)  # (n_stats_hidden [+ n_out],)
+        nsh = geo.n_stats_hidden
+        sizes, starts = geo.sizes_active, geo.stats_starts
+
+        # conv-unit marginals for kernel/per-unit-bias gradients
+        if geo.n_pool_vars:
+            Econv = full[:, : geo.num_conv_units].mean(axis=0)  # all conv units
+            active_patches = patches
+        else:
+            Econv = E[: geo.n_pooled]  # pooled (or all) conv units
+            active_patches = patches[pooled_idx]
+
+        g_kernel = jnp.einsum("ukl,u->kl", active_patches, Econv, precision="highest")
+
+        if self.hidden_bias_type == "shared":
+            g_b_conv = jnp.sum(E[: geo.n_pooled]).reshape(1)
+        elif self.hidden_bias_type == "none":
+            g_b_conv = jnp.zeros_like(params.b_conv)
+        else:  # per-unit
+            if geo.n_pool_vars:
+                g_b_conv = Econv
+            else:
+                g_b_conv = jnp.zeros((geo.num_conv_units,)).at[pooled_idx].add(E[: geo.n_pooled])
+
+        g_b_seq = E[geo.n_pooled : nsh] if geo.seq_sizes else jnp.zeros((0,))
+
+        g_w_seq, g_w_intra = [], []
+        for li in range(len(geo.seq_sizes)):
+            prev_b = stats[:, starts[li] : starts[li] + sizes[li]]
+            cur_b = stats[:, starts[li + 1] : starts[li + 1] + sizes[li + 1]]
+            g_w_seq.append(
+                jnp.einsum("rp,rc->pc", prev_b, cur_b, precision="highest") / R
+            )
+            intra = jnp.einsum("rc,rd->cd", cur_b, cur_b, precision="highest") / R
+            g_w_intra.append(jnp.triu(intra, k=1))
+
+        last = stats[:, nsh - geo.last_hidden_size : nsh]
+        if unclamped:
+            ys = stats[:, nsh:]
+            g_w_h2o = jnp.einsum("rh,ro->ho", last, ys, precision="highest") / R
+            g_b_o = ys.mean(axis=0)
+            g_w_oo = jnp.triu(
+                jnp.einsum("ro,rp->op", ys, ys, precision="highest") / R, k=1
+            )
+        else:
+            g_w_h2o = last.mean(axis=0)[:, None] * label_vec[None, :]
+            g_b_o = label_vec
+            g_w_oo = jnp.triu(label_vec[:, None] * label_vec[None, :], k=1)
+
+        return CDQBMParams(
+            kernel=g_kernel,
+            w_seq=tuple(g_w_seq),
+            w_seq_intra=tuple(g_w_intra),
+            w_h2o=g_w_h2o,
+            w_oo=g_w_oo,
+            b_conv=g_b_conv,
+            b_seq=g_b_seq,
+            b_o=g_b_o,
+        )
+
+    # -- training / prediction ----------------------------------------------
+
+    def _label_vecs(self, y):
+        if self.use_one_hot_encoding:
+            return jax.nn.one_hot(y.astype(jnp.int32), self.geo.n_out)
+        return y.astype(jnp.float32)[:, None]
+
+    def _step_fn(self, params, x_imgs, y, mask, lr, key):
+        geo = self.geo
+        y_vec = (
+            jax.nn.one_hot(y.astype(jnp.int32), geo.n_out)
+            if self.use_one_hot_encoding
+            else y.astype(jnp.float32)[:, None]
+        )
+        kc, ku = jax.random.split(key)
+        Qc = jax.vmap(lambda xi, yi: self.clamped_qubo(params, xi, yi))(x_imgs, y_vec)
+        Qu = jax.vmap(lambda xi: self.unclamped_qubo(params, xi))(x_imgs)
+        s_c = self.sampler.sample_batch(kc, Qc, self.sample_count)
+        s_u = self.sampler.sample_batch(ku, Qu, self.sample_count)
+
+        mc = jax.vmap(lambda s, xi, yi: self._moments(params, s, xi, yi))(s_c, x_imgs, y_vec)
+        mu = jax.vmap(lambda s, xi: self._moments(params, s, xi))(s_u, x_imgs)
+        diff = jax.tree.map(lambda a, b: a - b, mc, mu)
+
+        denom = jnp.maximum(mask.sum(), 1.0)
+
+        def avg(leaf):
+            m = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return (leaf * m).sum(axis=0) / denom
+
+        grad = jax.tree.map(avg, diff)
+        if self.is_restricted:
+            grad = dataclasses.replace(
+                grad, w_seq_intra=tuple(jnp.zeros_like(w) for w in grad.w_seq_intra)
+            )
+        if self.hidden_bias_type == "none":
+            grad = dataclasses.replace(grad, b_conv=jnp.zeros_like(grad.b_conv))
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
+
+        # NLL from unclamped output marginals (``nll_from_probs_binary``,
+        # ``src/train/train.py:7-10``)
+        probs = self._probs_from_samples(s_u)
+        p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        nll = (-jnp.log(p + 1e-12) * mask).sum() / denom
+        err = grad.b_o.mean()
+        return new_params, nll, err
+
+    def _probs_from_samples(self, s_u):
+        geo = self.geo
+        marg = s_u[:, :, geo.n_hidden :].mean(axis=1)  # (B, n_out)
+        if not self.use_one_hot_encoding:
+            p1 = jnp.clip(marg[:, 0], 1e-12, 1 - 1e-12)
+            return jnp.stack([1.0 - p1, p1], axis=1)
+        tot = marg.sum(axis=1, keepdims=True)
+        return jnp.where(tot > 0, marg / tot, 1.0 / geo.n_out)
+
+    def _predict_fn(self, params, x_imgs, key):
+        Qu = jax.vmap(lambda xi: self.unclamped_qubo(params, xi))(x_imgs)
+        s_u = self.sampler.sample_batch(key, Qu, self.sample_count)
+        probs = self._probs_from_samples(s_u)
+        return probs
+
+    def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
+        x = jnp.asarray(x_batch, dtype=jnp.float32)
+        if x.ndim == 2:  # flattened input
+            x = x.reshape((-1,) + self.geo.image_shape)
+        y = jnp.asarray(np.asarray(y_batch))
+        if mask is None:
+            mask = jnp.ones((x.shape[0],), dtype=jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        self.params, nll, err = self._step(self.params, x, y, mask, learning_rate, k)
+        return float(err), float(nll)
+
+    def predict_batch(self, X):
+        x = jnp.asarray(X, dtype=jnp.float32)
+        if x.ndim == 2:
+            x = x.reshape((-1,) + self.geo.image_shape)
+        self.key, k = jax.random.split(self.key)
+        probs = np.asarray(self._predict_probs(self.params, x, k))
+        preds = np.argmax(probs, axis=1)
+        return preds, probs
+
+    def predict(self, data):
+        preds, _ = self.predict_batch(np.asarray(data)[None])
+        return int(preds[0])
+
+    def get_last_hidden_embedding(self, X, chunk: int = 64):
+        """Mean last-hidden-block activations per example, for coreset
+        selection (reference ``get_last_hidden_embedding``,
+        ``src/model/cdqbm.py:1725-1736``)."""
+        geo = self.geo
+        x = jnp.asarray(X, dtype=jnp.float32)
+        if x.ndim == 2:
+            x = x.reshape((-1,) + geo.image_shape)
+        out = []
+        ls = geo.last_hidden_slice
+        for i in range(0, x.shape[0], chunk):
+            xb = x[i : i + chunk]
+            self.key, k = jax.random.split(self.key)
+            Qu = jax.vmap(lambda xi: self.unclamped_qubo(self.params, xi))(xb)
+            s_u = self.sampler.sample_batch(k, Qu, self.sample_count)
+            out.append(np.asarray(s_u[:, :, ls.start : ls.stop].mean(axis=1)))
+        return np.concatenate(out, axis=0)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def weight_objects(self):
+        """Reference ``weight_objects`` ordering
+        (``src/model/cdqbm_state.py:40-47``)."""
+        p = self.params
+        return [
+            np.asarray(p.kernel),
+            [np.asarray(w) for w in p.w_seq],
+            np.asarray(p.w_h2o),
+            np.asarray(p.w_oo),
+            None if self.is_restricted else [np.asarray(w) for w in p.w_seq_intra],
+            np.asarray(p.b_conv),
+            np.asarray(p.b_seq),
+            np.asarray(p.b_o),
+        ]
+
+    def save_weights(self, title, path="out"):
+        Path(path).mkdir(parents=True, exist_ok=True)
+        with open(f"{path}/{title}.pkl", "wb") as f:
+            pickle.dump(self.weight_objects(), f)
+
+    def load_params(self, file_path):
+        file_path = Path(file_path)
+        if not file_path.exists():
+            raise FileNotFoundError("params file not found")
+        with open(file_path, "rb") as f:
+            loaded = pickle.load(f)
+        (kernel, w_seq, w_h2o, w_oo, w_intra, b_conv, b_seq, b_o) = loaded
+        self.params = CDQBMParams(
+            kernel=jnp.asarray(kernel, jnp.float32),
+            w_seq=tuple(jnp.asarray(w, jnp.float32) for w in w_seq),
+            w_seq_intra=(
+                tuple(jnp.asarray(w, jnp.float32) for w in w_intra)
+                if w_intra is not None
+                else tuple(jnp.zeros((s, s)) for s in self.geo.seq_sizes)
+            ),
+            w_h2o=jnp.asarray(w_h2o, jnp.float32),
+            w_oo=jnp.asarray(w_oo, jnp.float32),
+            b_conv=jnp.asarray(b_conv, jnp.float32),
+            b_seq=jnp.asarray(b_seq, jnp.float32),
+            b_o=jnp.asarray(b_o, jnp.float32),
+        )

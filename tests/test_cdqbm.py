@@ -1,0 +1,295 @@
+"""CDQBM: geometry counts, penalty structure, QUBO assembly vs naive numpy,
+and end-to-end learning on synthetic images."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.models.cdqbm import CDQBM, PROB_POOL_PENALTY, build_penalty_matrix
+from qbmx.models.geometry import (
+    StackGeometry,
+    build_pool_windows,
+    conv_output_shape,
+    patch_index_grid,
+)
+from qbmx.samplers.api import GibbsSampler
+from qbmx.train.loop import train_model
+
+
+class TestGeometry:
+    def test_conv_output_shape(self):
+        assert conv_output_shape((28, 28), 3, 1) == (26, 26)
+        assert conv_output_shape((28, 28), 3, 2) == (13, 13)
+        assert conv_output_shape((6, 6), 3, 1) == (4, 4)
+
+    def test_patch_grid_matches_naive(self):
+        H, W, k, s = 6, 7, 3, 2
+        grid = patch_index_grid((H, W), k, s)
+        img = np.arange(H * W).reshape(H, W)
+        u = 0
+        for i in range(0, H - k + 1, s):
+            for j in range(0, W - k + 1, s):
+                assert np.array_equal(img.ravel()[grid[u]], img[i : i + k, j : j + k])
+                u += 1
+        assert u == grid.shape[0]
+
+    def test_pool_windows(self):
+        wins = build_pool_windows((4, 4), 2)
+        assert wins.shape == (4, 4)
+        # first window covers fmap positions (0,0),(0,1),(1,0),(1,1)
+        assert list(wins[0]) == [0, 1, 4, 5]
+        assert build_pool_windows((4, 4), 0).shape[0] == 0
+
+    def test_counts_deterministic(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "deterministic", (3,), 1)
+        assert geo.num_conv_units == 16
+        assert geo.n_windows == 4
+        assert geo.conv_active == 4  # pooled units only
+        assert geo.n_pool_vars == 0
+        assert geo.n_hidden == 4 + 3
+        assert geo.n_total == 8
+        assert geo.last_hidden_slice == slice(4, 7)
+
+    def test_counts_probabilistic(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "probabilistic", (3,), 2)
+        assert geo.conv_active == 16
+        assert geo.n_pool_vars == 4
+        assert geo.n_hidden == 16 + 4 + 3
+        assert geo.stats_drop == 16
+        assert geo.sizes_active == (4, 3)
+
+    def test_conv_fmap_matches_naive(self):
+        model = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=0, seed=0)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (6, 6)).astype("float32")
+        fmap, _, _ = model._context(model.params, jnp.asarray(x))
+        kern = np.asarray(model.params.kernel)
+        naive = np.asarray(
+            [
+                np.sum(x[i : i + 3, j : j + 3] * kern)
+                for i in range(4)
+                for j in range(4)
+            ]
+        )
+        assert np.allclose(np.asarray(fmap), naive, atol=1e-5)
+
+
+class TestPenalties:
+    def test_penalty_matrix_structure(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "probabilistic", (), 1)
+        P = build_penalty_matrix(geo)
+        B = PROB_POOL_PENALTY
+        wins = geo.pool_windows
+        # pairwise at-most-one inside window 0 ({0,1,4,5})
+        assert P[0, 1] == pytest.approx(B)
+        assert P[0, 5] == pytest.approx(B)
+        assert P[1, 4] == pytest.approx(B)
+        # OR-link: pool var of window 0 sits at conv_active + 0 = 16
+        pv = 16
+        assert P[pv, pv] == pytest.approx(B)
+        assert P[0, 0] == pytest.approx(B)
+        assert P[0, pv] == pytest.approx(-2 * B)
+        # no cross-window terms
+        assert P[0, int(wins[1][0])] == pytest.approx(0.0)
+
+    def test_deterministic_has_no_penalties(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "deterministic", (), 1)
+        assert np.allclose(build_penalty_matrix(geo), 0.0)
+
+
+class TestQuboAssembly:
+    def make_model(self, pooling_type, hidden_bias_type="shared", seq=(3,)):
+        return CDQBM(
+            image_shape=(6, 6), num_label_nodes=1, seed=1, kernel_size=3,
+            pooling_size=2, pooling_type=pooling_type, stride=1,
+            sequential_layer_sizes=list(seq), hidden_bias_type=hidden_bias_type,
+            sample_count=8, beta_eff=2.0,
+        )
+
+    def test_clamped_deterministic_structure(self):
+        model = self.make_model("deterministic")
+        geo = model.geo
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (6, 6)).astype("float32")
+        label = np.asarray([1.0], dtype="float32")
+        Q = np.asarray(model.clamped_qubo(model.params, jnp.asarray(x), jnp.asarray(label)))
+        assert Q.shape == (geo.n_hidden, geo.n_hidden)
+
+        # naive: conv diag = fmap[argmin per window] + shared bias
+        kern = np.asarray(model.params.kernel)
+        fmap = np.asarray(
+            [np.sum(x[i:i+3, j:j+3] * kern) for i in range(4) for j in range(4)]
+        )
+        wins = geo.pool_windows
+        pooled = [w[np.argmin(fmap[w])] for w in wins]
+        conv_bias = fmap[pooled] + float(np.asarray(model.params.b_conv)[0])
+        expected = np.zeros((geo.n_hidden, geo.n_hidden))
+        expected[np.arange(4), np.arange(4)] += conv_bias
+        expected[geo.pool_slice, geo.seq_slices[0]] += np.asarray(model.params.w_seq[0])
+        expected[geo.seq_slices[0], geo.seq_slices[0]] += np.triu(
+            np.asarray(model.params.w_seq_intra[0]), k=1
+        )
+        expected[np.arange(4, 7), np.arange(4, 7)] += np.asarray(model.params.b_seq)
+        eff = np.asarray(model.params.w_h2o) @ label
+        expected[np.arange(4, 7), np.arange(4, 7)] += eff
+        expected /= 2.0
+        assert np.allclose(Q, expected, atol=1e-5)
+
+    def test_unclamped_embeds_hidden_block_plus_output(self):
+        model = self.make_model("deterministic")
+        geo = model.geo
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (6, 6)), dtype=jnp.float32)
+        Qu = np.asarray(model.unclamped_qubo(model.params, x))
+        assert Qu.shape == (geo.n_total, geo.n_total)
+        # output block
+        b_o = np.asarray(model.params.b_o)
+        assert Qu[geo.n_hidden, geo.n_hidden] == pytest.approx(b_o[0] / 2.0, abs=1e-5)
+        # hidden->output block present
+        w_h2o = np.asarray(model.params.w_h2o)
+        ls = geo.last_hidden_slice
+        assert np.allclose(Qu[ls, geo.out_slice], w_h2o / 2.0, atol=1e-5)
+
+    def test_probabilistic_includes_penalties(self):
+        model = self.make_model("probabilistic")
+        geo = model.geo
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(0, 1, (6, 6)), dtype=jnp.float32)
+        Q = np.asarray(model.clamped_qubo(model.params, x, jnp.asarray([0.0])))
+        # at-most-one penalty between conv units 0 and 1 (window 0), / beta_eff
+        assert Q[0, 1] == pytest.approx(PROB_POOL_PENALTY / 2.0, abs=1e-5)
+        pv = geo.conv_active
+        assert Q[0, pv] == pytest.approx(-2 * PROB_POOL_PENALTY / 2.0, abs=1e-5)
+
+    def test_per_unit_bias_applied(self):
+        """The reference's modular builder silently ignores per-unit conv
+        biases (src/qubo/builder.py:8-10) — ours must apply them."""
+        model = self.make_model("deterministic", hidden_bias_type="per-unit")
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(0, 1, (6, 6)), dtype=jnp.float32)
+        Q1 = np.asarray(model.clamped_qubo(model.params, x, jnp.asarray([0.0])))
+        import dataclasses as dc
+
+        bumped = dc.replace(
+            model.params, b_conv=model.params.b_conv + 10.0
+        )
+        Q2 = np.asarray(model.clamped_qubo(bumped, x, jnp.asarray([0.0])))
+        assert np.all(np.diag(Q2)[:4] - np.diag(Q1)[:4] > 4.0)  # 10/beta_eff
+
+
+class TestTraining:
+    @pytest.mark.parametrize("pooling_type", ["deterministic", "probabilistic"])
+    def test_step_updates_all_params(self, pooling_type):
+        model = CDQBM(
+            image_shape=(6, 6), num_label_nodes=1, seed=0, kernel_size=3,
+            pooling_size=2, pooling_type=pooling_type,
+            sequential_layer_sizes=[3], hidden_bias_type="shared",
+            sample_count=32, sampler=GibbsSampler(num_warmup=8),
+        )
+        rng = np.random.default_rng(6)
+        x = rng.uniform(0, 1, (4, 6, 6)).astype("float32")
+        y = np.asarray([0, 1, 0, 1], dtype="float32")
+        before = jax.tree.map(lambda a: np.asarray(a).copy(), model.params)
+        model.train_for_one_iteration(x, y, 0.5)
+        after = model.params
+        changed = [
+            not np.allclose(np.asarray(a), b)
+            for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before))
+        ]
+        # kernel, w_seq, w_h2o, b_seq, b_o must all move (w_oo is 1x1 → empty triu)
+        assert sum(changed) >= 5
+
+    def test_learns_synthetic(self):
+        """Brightness-separable task; moment-matching training is slow by
+        nature (the reference runs 20 epochs × dozens of batches), so give it
+        enough updates.  Gradient correctness itself is pinned against
+        autodiff of the exact NLL in test_gradient_matches_autodiff."""
+        rngl = np.random.default_rng(1)
+        n = 40
+        y = rngl.integers(0, 2, n).astype("float32")
+        x = np.where(
+            y[:, None, None] > 0,
+            rngl.uniform(0.6, 1.0, (n, 4, 4)),
+            rngl.uniform(0.0, 0.4, (n, 4, 4)),
+        ).astype("float32")
+        model = CDQBM(
+            image_shape=(4, 4), num_label_nodes=1, seed=3, kernel_size=3,
+            pooling_size=2, pooling_type="deterministic",
+            sequential_layer_sizes=[3], hidden_bias_type="shared",
+            sample_count=256, sampler=GibbsSampler(num_warmup=16),
+        )
+        history = train_model(
+            model, x, y, x, y, batch_size=40, learning_rate=0.5, epochs=140,
+            verbose=False,
+        )
+        assert max(history.acc_per_epoch) >= 0.72
+
+    def test_gradient_matches_autodiff(self):
+        """Moment-diff gradient with exact samples == jax.grad of the true
+        discriminative NLL computed from the exact partition functions."""
+        from qbmx.core.qubo import qubo_energies
+        from qbmx.samplers.api import ExactSampler
+        from qbmx.samplers.exact import enumerate_states
+
+        model = CDQBM(
+            image_shape=(4, 4), num_label_nodes=1, seed=3, kernel_size=3,
+            pooling_size=2, pooling_type="deterministic",
+            sequential_layer_sizes=[3], hidden_bias_type="shared",
+            sample_count=8192, sampler=ExactSampler(),
+        )
+        rngl = np.random.default_rng(0)
+        x = jnp.asarray(rngl.uniform(0, 1, (1, 4, 4)), dtype=jnp.float32)
+        y = jnp.asarray([1.0])
+
+        def true_nll(params):
+            Qc = model.clamped_qubo(params, x[0], y)
+            Qu = model.unclamped_qubo(params, x[0])
+            Ec = qubo_energies(Qc, enumerate_states(model.geo.n_hidden))
+            Eu = qubo_energies(Qu, enumerate_states(model.geo.n_total))
+            const = jnp.dot(params.b_o, y) / model.beta_eff
+            logZc = jax.scipy.special.logsumexp(-Ec - const)
+            logZu = jax.scipy.special.logsumexp(-Eu)
+            return -(logZc - logZu)
+
+        p = model.params
+        key = jax.random.key(0)
+        kc, ku = jax.random.split(key)
+        yv = jnp.asarray([[1.0]])
+        Qc = jax.vmap(lambda xi, yi: model.clamped_qubo(p, xi, yi))(x, yv)
+        Qu = jax.vmap(lambda xi: model.unclamped_qubo(p, xi))(x)
+        s_c = model.sampler.sample_batch(kc, Qc, 8192)
+        s_u = model.sampler.sample_batch(ku, Qu, 8192)
+        mc = jax.vmap(lambda s, xi, yi: model._moments(p, s, xi, yi))(s_c, x, yv)
+        mu = jax.vmap(lambda s, xi: model._moments(p, s, xi))(s_u, x)
+        diff = jax.tree.map(lambda a, b: (a - b)[0], mc, mu)
+        g_auto = jax.grad(true_nll)(p)
+        for name in ["w_h2o", "b_o", "b_seq", "w_oo"]:
+            a = np.asarray(getattr(diff, name))
+            b = np.asarray(getattr(g_auto, name))
+            assert np.allclose(a, b, atol=0.05), name
+        # kernel gradient matches up to the (non-differentiable) argmin
+        # pooling selection — direction must agree
+        ka = np.asarray(diff.kernel).ravel()
+        kb = np.asarray(g_auto.kernel).ravel()
+        assert np.dot(ka, kb) > 0
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        model = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                      sequential_layer_sizes=[3], seed=0, sample_count=8)
+        model.save_weights("ck", str(tmp_path))
+        model2 = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                       sequential_layer_sizes=[3], seed=9, sample_count=8)
+        model2.load_params(str(tmp_path / "ck.pkl"))
+        for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(model2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_hidden_embedding_shape(self):
+        model = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                      sequential_layer_sizes=[3], seed=0, sample_count=16,
+                      sampler=GibbsSampler(num_warmup=4))
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0, 1, (5, 6, 6)).astype("float32")
+        emb = model.get_last_hidden_embedding(x)
+        assert emb.shape == (5, 3)
+        assert np.all(emb >= 0) and np.all(emb <= 1)
