@@ -1,0 +1,75 @@
+"""Shared CLI helpers: dataset resolution and flag plumbing."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from qbmx.data import loaders
+
+# The hosting image force-overrides jax_platforms at import time, so a plain
+# env var cannot select the backend; honor an explicit QBMX_PLATFORM.
+if os.environ.get("QBMX_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["QBMX_PLATFORM"])
+
+
+def str2bool(v) -> bool:
+    """Proper boolean flag parsing (the reference's ``type=bool`` treats any
+    non-empty string as True, SURVEY.md §2c.8)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
+    """Resolve a dataset by the reference CLI vocabulary
+    (``qbm_main.py:33-49``): mnist / breastmnist / pneumoniamnist /
+    fashionmnist / synthetic.  Returns (train, val, test) tuples of
+    (images NxHxW, labels N)."""
+    if data_set == "mnist":
+        # Reference tree ships only the t10k images (train blob missing);
+        # split test 80/10/10 when train images are unavailable.
+        try:
+            train = loaders.get_mnist(
+                "train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
+                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            test = loaders.get_mnist(
+                "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
+                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            return train, (None, None), test
+        except FileNotFoundError:
+            x, y = loaders.get_mnist(
+                "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
+                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            n = len(x)
+            a, b = int(0.8 * n), int(0.9 * n)
+            return (x[:a], y[:a]), (x[a:b], y[a:b]), (x[b:], y[b:])
+    if data_set in ("breastmnist", "pneumoniamnist"):
+        return loaders.get_medmnist(f"{data_set}.npz", seed=seed)
+    if data_set == "fashionmnist":
+        train = loaders.get_fashionmnist(
+            "train-images-idx3-ubyte", "train-labels-idx1-ubyte",
+            classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+        test = loaders.get_fashionmnist(
+            "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte",
+            classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+        return train, (None, None), test
+    if data_set == "synthetic":
+        x, y = loaders.synthetic_images(800, seed=seed)
+        return (x[:600], y[:600]), (x[600:700], y[600:700]), (x[700:], y[700:])
+    raise ValueError(
+        f"Invalid dataset {data_set!r}. Options: mnist, breastmnist, "
+        "pneumoniamnist, fashionmnist, synthetic"
+    )
+
+
+def param_string(**kw) -> str:
+    """Run-identity filename encoding (reference ``qbm_main.py:57-58``)."""
+    return "".join(f"_{k}{v}" for k, v in kw.items())

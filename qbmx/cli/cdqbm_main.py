@@ -1,0 +1,151 @@
+"""Conv-Deep-QBM CLI — flag-parity entry point for the reference
+``cdqbm_main.py`` (argparse ``cdqbm_main.py:160-244``) with proper boolean
+flags and headless metrics output (figures optional)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+from sklearn.metrics import roc_auc_score
+
+from qbmx.cli._common import load_dataset, param_string, str2bool
+from qbmx.data import loaders
+from qbmx.models.cdqbm import CDQBM
+from qbmx.train.loop import train_model
+from qbmx.utils import metrics
+
+
+def main(
+    seed=44, solver="SA", sample_count=100, anneal=1000, beta_eff=1.0, epochs=20,
+    batch_size=3, learning_rate=0.01, restricted=False, data_set="mnist",
+    num_classes=2, save="out/", name="run", pooling_size=4,
+    pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
+    sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
+):
+    print("Start")
+    random.seed(seed)
+    np.random.seed(seed)
+    print("Seed is", seed)
+
+    print("Loading data...")
+    (train_x, train_y), _, (test_x, test_y) = load_dataset(
+        data_set, seed=seed, samples_per_class=50 if data_set == "mnist" else None
+    )
+    print("Data loaded")
+
+    train_x, train_y = loaders.shuffle_images(train_x, train_y, seed)
+
+    image_shape = np.asarray(train_x[0]).shape[:2]
+    num_label_nodes = 1 if (num_classes == 2 and not one_hot) else int(num_classes)
+    class_names = ["0", "1"] if num_label_nodes == 1 else [str(i) for i in range(num_classes)]
+
+    pstr = param_string(
+        se=seed, sol=solver, sc=sample_count, b=beta_eff, e=epochs,
+        bs=batch_size, l=learning_rate, r=restricted, data=data_set, n_=name,
+    )
+    print(pstr)
+
+    print("Creating QBM...")
+    qbm = CDQBM(
+        image_shape=tuple(image_shape), num_label_nodes=num_label_nodes,
+        seed=seed, kernel_size=kernel_size, pooling_size=pooling_size,
+        pooling_type=pooling_type, stride=stride,
+        sequential_layer_sizes=list(sequential_layer_sizes),
+        is_restricted=bool(restricted), hidden_bias_type=hidden_bias_type,
+        solver=solver, anneal=anneal, sample_count=sample_count,
+        beta_eff=beta_eff, num_classes=num_classes,
+    )
+    print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
+
+    if coreset_budget:
+        from qbmx.data.coreset import downsample_kcenter_with_light_model
+
+        print(f"Selecting {coreset_budget}-example coreset...")
+        train_x, train_y = downsample_kcenter_with_light_model(
+            qbm, train_x, train_y, coreset_budget, seed
+        )
+
+    print("Training QBM...")
+    history = train_model(
+        qbm, train_x, train_y, batch_size=batch_size,
+        learning_rate=learning_rate, epochs=epochs,
+        save_folder=f"{save}{pstr}" if save else None,
+        class_titles=class_names,
+    )
+    print("QBM trained")
+
+    print("Predict on test data...")
+    predictions, probs_all = qbm.predict_batch(test_x)
+
+    acc, f1, precision, recall, _ = metrics.get_metrics(test_y, predictions, class_names)
+    if num_label_nodes == 1:
+        auc = roc_auc_score(test_y, probs_all[:, 1])
+    else:
+        from sklearn.preprocessing import label_binarize
+
+        Y_true = label_binarize(test_y, classes=list(range(num_classes)))
+        auc = roc_auc_score(Y_true, probs_all, average="macro", multi_class="ovr")
+
+    if save:
+        metrics.save_result(
+            save + name, qbm, history, qbm.weight_objects(), test_y, predictions,
+            class_names, batch_size, epochs, solver, learning_rate, save=True,
+        )
+
+    print("Accuracy: ", acc)
+    print("F1 Score: ", f1)
+    print("Precision: ", precision)
+    print("Recall: ", recall)
+    print("AUC Score: ", auc)
+    return acc, f1, precision, recall, auc
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Run Conv-Deep-QBM experiments.")
+    p.add_argument("-lr", "--learning_rate", type=float, default=0.01)
+    p.add_argument("-r", "--restricted", type=str2bool, default=False)
+    p.add_argument("-e", "--epochs", type=int, default=20)
+    p.add_argument("-b", "--batch_size", type=int, default=3)
+    p.add_argument("-s", "--seed", type=int, default=44)
+    p.add_argument("-sc", "--sample_count", type=int, default=100)
+    p.add_argument("--anneal", type=int, default=1000,
+                   help="Num sweeps for SA")
+    p.add_argument("--solver", type=str, default="SA")
+    p.add_argument("--data_set", type=str, default="mnist")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--save", "--out", dest="save", type=str, default="out/")
+    p.add_argument("--name", type=str, default="run")
+    p.add_argument("--pooling_size", type=int, default=4,
+                   help="Pooling window size (0/1 disables)")
+    p.add_argument("--pooling_type", type=str, default="deterministic",
+                   help="'probabilistic' or 'deterministic'")
+    p.add_argument("--hidden_bias_type", type=str, default="shared",
+                   help="'shared', 'none', or 'per-unit'")
+    p.add_argument("--one_hot", action="store_true")
+    p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--seq_sizes", type=int, nargs="*", default=[4])
+    p.add_argument("--coreset_budget", type=int, default=0,
+                   help="k-center coreset size (0 = use all training data)")
+    return p
+
+
+if __name__ == "__main__":
+    flags = build_parser().parse_args()
+    print("Running with solver", flags.solver)
+    if flags.save:
+        os.makedirs(flags.save, exist_ok=True)
+    main(
+        seed=flags.seed, solver=flags.solver, sample_count=flags.sample_count,
+        anneal=flags.anneal, beta_eff=1.0, epochs=flags.epochs,
+        batch_size=flags.batch_size, learning_rate=flags.learning_rate,
+        restricted=flags.restricted, data_set=flags.data_set,
+        num_classes=flags.num_classes, save=flags.save, name=flags.name,
+        pooling_size=flags.pooling_size, pooling_type=flags.pooling_type,
+        hidden_bias_type=flags.hidden_bias_type, one_hot=flags.one_hot,
+        sequential_layer_sizes=flags.seq_sizes, kernel_size=flags.kernel_size,
+        stride=flags.stride, coreset_budget=flags.coreset_budget,
+    )

@@ -1,0 +1,123 @@
+"""Flat Disc_QBM CLI — flag-parity entry point for the reference
+``qbm_main.py`` (argparse block ``qbm_main.py:138-216``), with proper boolean
+flags and no cloud/token requirements (samplers are on-device)."""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import numpy as np
+
+from qbmx.cli._common import load_dataset, param_string, str2bool
+from qbmx.data import loaders
+from qbmx.models.dqbm import DiscQBM
+from qbmx.train.loop import train_model
+from qbmx.utils import metrics
+
+
+def main(
+    seed=19, n_hidden_nodes=10, solver="SA", sample_count=100, anneal=1000,
+    beta_eff=1.0, epochs=3, batch_size=10, learning_rate=0.01, restricted=True,
+    data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
+    use_one_hot_encoding=False, load_path="",
+):
+    print("Start")
+    random.seed(seed)
+    np.random.seed(seed)
+    print("Seed is", seed)
+
+    print("Loading data...")
+    (train_X, train_y), (val_X, val_y), (test_X, test_y) = load_dataset(data_set, seed=seed)
+    print("Data loaded")
+
+    print("Preprocessing data...")
+    train_X, test_X, val_X = loaders.preprocess_images(train_X, test_X, val_X)
+    print("Data preprocessed")
+
+    pstr = param_string(
+        se=seed, h=n_hidden_nodes, sol=solver, sc=sample_count, b=beta_eff,
+        e=epochs, bs=batch_size, l=learning_rate, r=restricted, data=data_set, n_=name,
+    )
+    print(pstr)
+
+    print("Creating QBM...")
+    dqbm = DiscQBM(
+        dim_input=train_X.shape[1], num_classes=num_classes,
+        n_hidden_nodes=n_hidden_nodes, seed=seed, solver=solver,
+        restricted=restricted, sample_count=sample_count, anneal_steps=anneal,
+        beta_eff=beta_eff, use_one_hot_encoding=use_one_hot_encoding,
+        load_path=load_path,
+    )
+    print("QBM created")
+
+    print("Training QBM...")
+    t0 = time.time()
+    history = train_model(
+        dqbm, train_X, train_y, test_X, test_y, batch_size=batch_size,
+        learning_rate=learning_rate, epochs=epochs,
+        save_folder=f"{save}{pstr}" if save else None,
+    )
+    print(f"QBM trained in {time.time() - t0:.1f}s")
+
+    print("Predict on test data...")
+    predictions, _ = dqbm.predict_batch(test_X)
+
+    acc, f1, precision, recall, auc = metrics.save_result(
+        save + name, dqbm, history, dqbm.weight_objects(), test_y, predictions,
+        ["0", "1"] if num_classes == 2 else [str(i) for i in range(num_classes)],
+        batch_size, epochs, solver, learning_rate, save=bool(save),
+    )
+    print("Accuracy: ", acc)
+    print("F1 Score: ", f1)
+    print("Precision: ", precision)
+    print("Recall: ", recall)
+    print("AUC Score: ", auc)
+    return acc, f1, precision, recall, auc
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train/evaluate a flat discriminative QBM.")
+    p.add_argument("-hn", "--hnodes", metavar="INT", type=int, default=2,
+                   help="Amount of hidden units")
+    p.add_argument("-lr", "--learning_rate", metavar="FLOAT", type=float,
+                   default=0.4529451796571889)
+    p.add_argument("-r", "--restricted", type=str2bool, default=False,
+                   help="No weights between hidden nodes")
+    p.add_argument("-e", "--epochs", metavar="INT", type=int, default=20)
+    p.add_argument("-b", "--batch_size", metavar="INT", type=int, default=73)
+    p.add_argument("-s", "--seed", metavar="INT", type=int, default=3492574433)
+    p.add_argument("-sc", "--sample_count", metavar="INT", type=int, default=100,
+                   help="Number of samples (annealing reads) per QUBO")
+    p.add_argument("--anneal", type=int, default=1000, help="SA sweeps per read")
+    p.add_argument("--solver", type=str, default="SA",
+                   help="Solver: 'SA', 'SA-JAX', 'SA-PALLAS', 'BMS', 'EXACT'")
+    p.add_argument("--data_set", type=str, default="pneumoniamnist",
+                   help="'mnist', 'breastmnist', 'pneumoniamnist', 'fashionmnist', 'synthetic'")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--one_hot", action="store_true",
+                   help="Use one-hot label nodes (vs single binary node)")
+    p.add_argument("--parallelize", type=str2bool, default=True,
+                   help="Kept for flag parity; chains always run batched on device")
+    p.add_argument("--load_path", type=str, default="",
+                   help="Checkpoint pickle to initialize from")
+    p.add_argument("--save", "--out", dest="save", type=str, default="out/")
+    p.add_argument("--name", type=str, default="run")
+    p.add_argument("--beta_eff", type=float, default=1.0)
+    return p
+
+
+if __name__ == "__main__":
+    flags = build_parser().parse_args()
+    print("Running with solver", flags.solver)
+    main(
+        epochs=flags.epochs, n_hidden_nodes=flags.hnodes,
+        learning_rate=flags.learning_rate, batch_size=flags.batch_size,
+        solver=flags.solver, restricted=flags.restricted, seed=flags.seed,
+        data_set=flags.data_set, num_classes=flags.num_classes,
+        parallelize=flags.parallelize, sample_count=flags.sample_count,
+        anneal=flags.anneal, save=flags.save, name=flags.name,
+        beta_eff=flags.beta_eff, use_one_hot_encoding=flags.one_hot,
+        load_path=flags.load_path,
+    )

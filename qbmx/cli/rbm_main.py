@@ -1,0 +1,85 @@
+"""Discriminative RBM CLI — flag-parity entry point for the reference
+``rbm_main.py`` (argparse ``rbm_main.py:12-30``; fixed 10-seed sweep
+``:32-33``) with per-seed per-epoch acc/auc pickles."""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from qbmx.cli._common import load_dataset
+from qbmx.data import loaders
+from qbmx.models.rbm import ClassificationRBM
+
+# Reference's fixed seed list (``rbm_main.py:32-33``)
+DEFAULT_SEEDS = [
+    1967690937, 2286980494, 3620295971, 1662044193, 1825595160,
+    3054779705, 900327972, 1620954898, 3699850877, 3492574433,
+]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Discriminative RBM seed sweep")
+    p.add_argument("--lr", type=float, default=0.08714599435919934,
+                   help="initial learning rate")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=7)
+    p.add_argument("--visible-units", type=int, default=784)
+    p.add_argument("--hidden-units", type=int, default=9)
+    p.add_argument("--cd-k", type=int, default=1,
+                   help="K in contrastive divergence (generative/hybrid modes)")
+    p.add_argument("--type", type=str, default="discriminative",
+                   help="'discriminative', 'generative', or 'hybrid'")
+    p.add_argument("--sparsity-coeffectient", type=float, default=0.0)
+    p.add_argument("--generative-factor", type=float, default=0.01)
+    p.add_argument("--data_set", type=str, default="breastmnist")
+    p.add_argument("--seeds", type=int, nargs="*", default=None,
+                   help="Seed list (default: the reference's 10 seeds)")
+    p.add_argument("--out", type=str, default="out/rbm")
+    return p
+
+
+def main(args=None):
+    args = args or build_parser().parse_args()
+    seeds = args.seeds if args.seeds else DEFAULT_SEEDS
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    results = []
+    for seed in seeds:
+        np.random.seed(seed)
+        print("Loading data...")
+        (train_X, train_y), (val_X, val_y), (test_X, test_y) = load_dataset(
+            args.data_set, seed=seed
+        )
+        print("Data loaded")
+        print("Train shape:", train_X.shape)
+        train_X, val_X, test_X = loaders.preprocess_images(train_X, val_X, test_X)
+
+        rbm = ClassificationRBM(
+            num_visible=train_X.shape[1], num_hidden=args.hidden_units,
+            k=args.cd_k, num_classes=2, learning_rate=args.lr, seed=seed,
+            method=args.type, sparse_constant=args.sparsity_coeffectient,
+            generative_factor=args.generative_factor,
+        )
+        rbm.train_rbm(
+            train_X, train_y, epochs=args.epochs, batch_size=args.batch_size,
+            test_x=test_X, test_y=test_y,
+        )
+        with open(out / f"acc_per_epoch{seed}.pkl", "wb") as f:
+            pickle.dump(rbm.acc_per_epoch_list, f)
+        with open(out / f"auc_per_epoch{seed}.pkl", "wb") as f:
+            pickle.dump(rbm.auc_per_epoch_list, f)
+        best = max(rbm.acc_per_epoch_list) if rbm.acc_per_epoch_list else float("nan")
+        results.append(best)
+        print(f"seed {seed}: best epoch acc {best:.4f}")
+
+    print(f"mean best-epoch acc over {len(seeds)} seeds: {np.mean(results):.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

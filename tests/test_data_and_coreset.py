@@ -1,0 +1,101 @@
+"""Data loaders, preprocessing, and coreset selection."""
+
+import numpy as np
+import pytest
+
+from qbmx.data import loaders
+from qbmx.data.coreset import k_center_greedy, random_downsampling
+
+
+class TestLoaders:
+    def test_synthetic_shapes(self):
+        x, y = loaders.synthetic_images(50, shape=(8, 8), num_classes=3, seed=0)
+        assert x.shape == (50, 8, 8)
+        assert set(np.unique(y)) <= {0, 1, 2}
+        assert x.min() >= 0 and x.max() <= 1
+
+    def test_preprocess_flattens_consistent_order(self):
+        tr = np.zeros((4, 5, 5), dtype="float32")
+        te = np.ones((3, 5, 5), dtype="float32")
+        va = 2 * np.ones((2, 5, 5), dtype="float32")
+        a, b, c = loaders.preprocess_images(tr, te, va)
+        assert a.shape == (4, 25) and b.shape == (3, 25) and c.shape == (2, 25)
+        assert b[0, 0] == 1.0 and c[0, 0] == 2.0  # (train, test, val) order
+
+    def test_binarize(self):
+        x = np.asarray([[0.2, 0.7], [0.5, 0.51]])
+        assert np.array_equal(loaders.binarize(x), [[0, 1], [0, 1]])
+
+    def test_onehot(self):
+        oh = loaders.encode_labels_to_onehot([0, 2, 1], 3)
+        assert np.array_equal(oh, np.eye(3)[[0, 2, 1]])
+
+    def test_pad_reflatten(self):
+        flat = np.arange(2 * 9, dtype="float32").reshape(2, 9)
+        padded = loaders.reshape_pad_and_flatten(flat, (3, 3), pad=1)
+        assert padded.shape == (2, 5, 5)
+        assert padded[0, 0, 0] == 0 and padded[0, 1, 1] == 0.0  # corner pad, first px
+
+    def test_balance_by_undersampling(self):
+        x = np.arange(10)[:, None].astype("float32")
+        y = np.asarray([1, 1, 1, 1, 1, 1, 1, 0, 0, 0])
+        xb, yb = loaders.balance_by_undersampling(x, y)
+        assert (yb == 0).sum() == (yb == 1).sum() == 3
+
+    def test_medmnist_from_reference_tree(self):
+        import pathlib
+
+        if not pathlib.Path("/root/reference/src/data/medmnist/breastmnist.npz").exists():
+            pytest.skip("reference data not mounted")
+        (tx, ty), (vx, vy), (sx, sy) = loaders.get_medmnist("breastmnist.npz")
+        assert tx.shape[1:] == (28, 28)
+        assert len(tx) == len(ty)
+        assert 0 <= tx.min() and tx.max() <= 1
+        assert set(np.unique(ty)) == {0, 1}
+
+
+class TestCoreset:
+    def test_kcenter_covers_clusters(self):
+        rng = np.random.default_rng(0)
+        centers = np.asarray([[0, 0], [10, 0], [0, 10], [10, 10]], dtype="float32")
+        pts = np.concatenate([c + 0.1 * rng.normal(size=(30, 2)) for c in centers])
+        idx = k_center_greedy(pts, budget=4, random_seed=0)
+        chosen_clusters = {int(i) // 30 for i in idx}
+        assert chosen_clusters == {0, 1, 2, 3}  # one pick per cluster
+
+    def test_kcenter_budget_capped(self):
+        pts = np.random.default_rng(1).normal(size=(10, 3)).astype("float32")
+        idx = k_center_greedy(pts, budget=50, random_seed=0)
+        assert len(idx) <= 10
+
+    def test_random_downsampling(self):
+        x = np.arange(20)[:, None]
+        y = np.arange(20)
+        xs, ys = random_downsampling(x, y, 5, seed=0)
+        assert len(xs) == 5 and np.array_equal(xs[:, 0], ys)
+        with pytest.raises(ValueError):
+            random_downsampling(x, y, 100)
+
+
+class TestCLI:
+    def test_qbm_main_synthetic(self, tmp_path):
+        from qbmx.cli.qbm_main import main
+
+        acc, *_ = main(
+            seed=1, n_hidden_nodes=3, solver="SA", sample_count=32, anneal=20,
+            epochs=1, batch_size=100, learning_rate=0.3, restricted=False,
+            data_set="synthetic", save=str(tmp_path) + "/", name="t",
+        )
+        assert 0.0 <= acc <= 1.0
+        assert (tmp_path / "t_result.txt").exists()
+
+    def test_cdqbm_main_synthetic(self, tmp_path):
+        from qbmx.cli.cdqbm_main import main
+
+        acc, *_ = main(
+            seed=1, solver="SA", sample_count=16, anneal=10, epochs=1,
+            batch_size=100, learning_rate=0.1, data_set="synthetic",
+            save=str(tmp_path) + "/", name="t", pooling_size=7,
+            pooling_type="deterministic", sequential_layer_sizes=(3,),
+        )
+        assert 0.0 <= acc <= 1.0
