@@ -1,0 +1,82 @@
+"""Headline benchmark: CD-1 RBM training throughput on binarized MNIST.
+
+North-star metric (BASELINE.json): "CD-1 RBM training on binarized MNIST at
+≥100k images/sec/chip on v5e".  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+``vs_baseline`` is value / 100_000 (the target), >1.0 = target beaten.
+
+The training epoch runs as a single lax.scan on device (binarize → CD-1
+Gibbs → outer-product updates fused by XLA); data is real MNIST when the
+archive is reachable, synthetic otherwise (throughput is data-independent).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def load_images(n_target: int = 65536):
+    from qbmx.data import loaders
+
+    try:
+        x, y = loaders.get_mnist(
+            "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz", classes=[0, 1]
+        )
+    except FileNotFoundError:
+        x, y = loaders.synthetic_images(4096, shape=(28, 28), num_classes=2, seed=0)
+    x = loaders.binarize(x.reshape(len(x), -1))
+    y = np.asarray(y)
+    reps = max(n_target // len(x), 1)
+    x = np.tile(x, (reps, 1))[:n_target]
+    y = np.tile(y, reps)[:n_target]
+    return x, y
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qbmx.models.rbm import init_params, make_epoch_scan, make_train_step
+
+    batch_size = 4096
+    num_hidden = 128  # wide enough to exercise the MXU; reference uses 9
+    x, y = load_images()
+    n = (len(x) // batch_size) * batch_size
+    nb = n // batch_size
+    xb = jnp.asarray(x[:n].reshape(nb, batch_size, -1), dtype=jnp.float32)
+    yb = jnp.asarray(y[:n].reshape(nb, batch_size), dtype=jnp.int32)
+
+    step = make_train_step(num_classes=2, method="generative", cd_k=1)
+    epoch = make_epoch_scan(step)
+    params = init_params(jax.random.key(0), xb.shape[-1], num_hidden, 2)
+    key = jax.random.key(1)
+
+    # compile + warmup
+    params, _ = epoch(params, key, xb, yb, 0.05)
+    jax.block_until_ready(params)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        params, loss = epoch(params, jax.random.fold_in(key, i), xb, yb, 0.05)
+        jax.block_until_ready(params)
+        times.append(time.perf_counter() - t0)
+
+    imgs_per_sec = n / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "mnist_cd1_rbm_train_throughput",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / 100_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Multi-chip training: shard_map over an ICI device mesh.
+
+The reference's only parallel axes are SA-chain fan-out (a 10-worker process
+pool re-sampling the same QUBO, ``src/model/faster_dqbm.py:578-596``) and
+replicated-problem chip partitioning on the QPU (``src/embedding.py``).
+The TPU-native mapping (SURVEY.md §2d):
+
+  * **dp** — data parallelism: the example batch is sharded across chips;
+    each chip builds QUBOs and anneals chains for its shard only.
+  * **chains** — chain parallelism: each chip anneals ``reads / n_chains``
+    independent chains per example with a distinct folded PRNG key (the
+    reference reused one seed across all 10 workers — SURVEY.md §2c.4).
+
+Cross-chip traffic is just the moment-statistic sums (a few KB), reduced
+with ``psum`` over both axes; parameters are replicated (models are ≤ ~16k
+parameters — no tensor parallelism is warranted, SURVEY.md §2d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qbmx.models import cdqbm as cdqbm_mod
+from qbmx.models import dqbm as dqbm_mod
+
+
+def make_mesh(dp: int | None = None, chains: int = 1, devices=None) -> Mesh:
+    """Build a (dp, chains) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // chains
+    if dp * chains > n:
+        raise ValueError(f"dp*chains = {dp}*{chains} > {n} devices")
+    dev_array = np.asarray(devices[: dp * chains]).reshape(dp, chains)
+    return Mesh(dev_array, axis_names=("dp", "chains"))
+
+
+def _tree_psum_over(tree, axes):
+    return jax.tree.map(lambda leaf: jax.lax.psum(leaf, axes), tree)
+
+
+def make_dqbm_sharded_step(model: "dqbm_mod.DiscQBM", mesh: Mesh):
+    """Sharded training step for the flat Disc_QBM.
+
+    Signature matches ``DiscQBM._step``: (params, x, y, mask, lr, key) →
+    (params, nll, err).  Batch dims are sharded over 'dp'; each device
+    anneals ``sample_count / chains`` reads; moment sums ride the ICI via
+    a single psum over ('dp', 'chains').
+    """
+    n_chains = mesh.shape["chains"]
+    reads_local = max(model.sample_count // n_chains, 1)
+    n_out = model.n_output_nodes
+    beta_eff = model.beta_eff
+    one_hot = model.use_one_hot_encoding
+    restricted = model.restricted
+    sampler = model.sampler
+
+    def local_step(params, x, y, mask, lr, key):
+        dp_idx = jax.lax.axis_index("dp")
+        ch_idx = jax.lax.axis_index("chains")
+        key = jax.random.fold_in(jax.random.fold_in(key, dp_idx), ch_idx)
+        y_vec = (
+            jax.nn.one_hot(y.astype(jnp.int32), n_out)
+            if one_hot
+            else y.astype(jnp.float32)[:, None]
+        )
+        kc, ku = jax.random.split(key)
+        Qc = dqbm_mod.clamped_qubo_batch(params, x, y_vec, beta_eff)
+        Qu = dqbm_mod.unclamped_qubo_batch(params, x, beta_eff)
+        s_c = sampler.sample_batch(kc, Qc, reads_local)
+        s_u = sampler.sample_batch(ku, Qu, reads_local)
+
+        mc = dqbm_mod.clamped_moments(s_c, x, y_vec)
+        mu = dqbm_mod.unclamped_moments(s_u, x, n_out)
+        diff = jax.tree.map(lambda a, b: a - b, mc, mu)
+
+        # local masked SUM over the batch shard (mean taken after psum)
+        def wsum(leaf):
+            m = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return (leaf * m).sum(axis=0)
+
+        local_sums = jax.tree.map(wsum, diff)
+        # chains average + dp batch-sum in one reduction
+        global_sums = _tree_psum_over(local_sums, ("dp", "chains"))
+        denom = jax.lax.psum(mask.sum(), "dp") * n_chains
+        grad = jax.tree.map(lambda s: s / jnp.maximum(denom, 1.0), global_sums)
+        if restricted:
+            grad = dataclasses.replace(grad, w_hh=jnp.zeros_like(grad.w_hh))
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
+
+        probs = dqbm_mod.output_probs_from_samples(s_u, n_out, one_hot)
+        p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        nll_sum = jax.lax.psum((-jnp.log(p + 1e-12) * mask).sum(), ("dp", "chains"))
+        nll = nll_sum / jnp.maximum(denom, 1.0)
+        return new_params, nll, grad.b_o.mean()
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_cdqbm_sharded_step(model: "cdqbm_mod.CDQBM", mesh: Mesh):
+    """Sharded training step for the CDQBM — same (dp, chains) layout."""
+    n_chains = mesh.shape["chains"]
+    reads_local = max(model.sample_count // n_chains, 1)
+    geo = model.geo
+    sampler = model.sampler
+    one_hot = model.use_one_hot_encoding
+
+    def local_step(params, x_imgs, y, mask, lr, key):
+        dp_idx = jax.lax.axis_index("dp")
+        ch_idx = jax.lax.axis_index("chains")
+        key = jax.random.fold_in(jax.random.fold_in(key, dp_idx), ch_idx)
+        y_vec = (
+            jax.nn.one_hot(y.astype(jnp.int32), geo.n_out)
+            if one_hot
+            else y.astype(jnp.float32)[:, None]
+        )
+        kc, ku = jax.random.split(key)
+        Qc = jax.vmap(lambda xi, yi: model.clamped_qubo(params, xi, yi))(x_imgs, y_vec)
+        Qu = jax.vmap(lambda xi: model.unclamped_qubo(params, xi))(x_imgs)
+        s_c = sampler.sample_batch(kc, Qc, reads_local)
+        s_u = sampler.sample_batch(ku, Qu, reads_local)
+        mc = jax.vmap(lambda s, xi, yi: model._moments(params, s, xi, yi))(s_c, x_imgs, y_vec)
+        mu = jax.vmap(lambda s, xi: model._moments(params, s, xi))(s_u, x_imgs)
+        diff = jax.tree.map(lambda a, b: a - b, mc, mu)
+
+        def wsum(leaf):
+            m = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return (leaf * m).sum(axis=0)
+
+        global_sums = _tree_psum_over(jax.tree.map(wsum, diff), ("dp", "chains"))
+        denom = jax.lax.psum(mask.sum(), "dp") * n_chains
+        grad = jax.tree.map(lambda s: s / jnp.maximum(denom, 1.0), global_sums)
+        if model.is_restricted:
+            grad = dataclasses.replace(
+                grad, w_seq_intra=tuple(jnp.zeros_like(w) for w in grad.w_seq_intra)
+            )
+        if model.hidden_bias_type == "none":
+            grad = dataclasses.replace(grad, b_conv=jnp.zeros_like(grad.b_conv))
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
+
+        probs = model._probs_from_samples(s_u)
+        p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        nll_sum = jax.lax.psum((-jnp.log(p + 1e-12) * mask).sum(), ("dp", "chains"))
+        nll = nll_sum / jnp.maximum(denom, 1.0)
+        return new_params, nll, grad.b_o.mean()
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_model(model, mesh: Mesh):
+    """Swap the model's single-device step for a mesh-sharded one, in place.
+    Training code (qbmx.train.loop) is oblivious — it keeps calling
+    ``train_for_one_iteration``; batch rows must be divisible by the dp size."""
+    if isinstance(model, dqbm_mod.DiscQBM):
+        model._step = make_dqbm_sharded_step(model, mesh)
+    elif isinstance(model, cdqbm_mod.CDQBM):
+        model._step = make_cdqbm_sharded_step(model, mesh)
+    else:
+        raise TypeError(f"no sharded step for {type(model)!r}")
+    model.mesh = mesh
+    return model

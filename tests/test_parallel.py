@@ -1,0 +1,118 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded steps must
+run, reduce over ICI axes, and agree statistically with the single-device
+step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.models.cdqbm import CDQBM
+from qbmx.models.dqbm import DiscQBM
+from qbmx.parallel.mesh import make_cdqbm_sharded_step, make_dqbm_sharded_step, make_mesh, shard_model
+from qbmx.samplers.api import ExactSampler, GibbsSampler
+
+
+@pytest.fixture(scope="module")
+def devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, devices):
+        mesh = make_mesh(dp=4, chains=2)
+        assert mesh.shape == {"dp": 4, "chains": 2}
+        mesh = make_mesh(chains=2)
+        assert mesh.shape["dp"] == 4
+
+    def test_bad_factorization(self, devices):
+        with pytest.raises(ValueError):
+            make_mesh(dp=5, chains=2)
+
+
+class TestDQBMSharded:
+    def test_step_runs_and_updates(self, devices):
+        mesh = make_mesh(dp=4, chains=2)
+        model = DiscQBM(dim_input=6, n_hidden_nodes=3, seed=0, sample_count=64,
+                        restricted=False, sampler=GibbsSampler(num_warmup=8))
+        step = make_dqbm_sharded_step(model, mesh)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 6)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 8), dtype=jnp.float32)
+        mask = jnp.ones((8,), dtype=jnp.float32)
+        new_params, nll, err = step(model.params, x, y, mask, 0.3, jax.random.key(1))
+        assert np.isfinite(float(nll))
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(model.params))
+        )
+        assert moved
+
+    def test_sharded_matches_single_device_with_exact_sampler(self, devices):
+        """With the exact sampler the gradient is deterministic up to
+        categorical draws; using huge reads both paths must agree closely."""
+        mesh = make_mesh(dp=4, chains=1)
+        model = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=4096,
+                        restricted=False, sampler=ExactSampler())
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 4)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 8), dtype=jnp.float32)
+        mask = jnp.ones((8,), dtype=jnp.float32)
+
+        single, nll1, _ = model._step(model.params, x, y, mask, 0.5, jax.random.key(2))
+        step = make_dqbm_sharded_step(model, mesh)
+        sharded, nll2, _ = step(model.params, x, y, mask, 0.5, jax.random.key(2))
+        for a, b in zip(jax.tree.leaves(single), jax.tree.leaves(sharded)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=0.05)
+        assert abs(float(nll1) - float(nll2)) < 0.2
+
+    def test_masked_padding_sharded(self, devices):
+        """Padded rows must not contribute, also when sharded across dp."""
+        mesh = make_mesh(dp=4, chains=2)
+        model = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=2048,
+                        restricted=False, sampler=ExactSampler())
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 4)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 8), dtype=jnp.float32)
+        # poison the padded tail; results must be invariant
+        x_poison = x.at[6:].set(123.0)
+        mask = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], dtype=jnp.float32)
+        step = make_dqbm_sharded_step(model, mesh)
+        p1, _, _ = step(model.params, x, y, mask, 0.5, jax.random.key(3))
+        p2, _, _ = step(model.params, x_poison, y, mask, 0.5, jax.random.key(3))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=0.06)
+
+
+class TestCDQBMSharded:
+    def test_step_runs(self, devices):
+        mesh = make_mesh(dp=4, chains=2)
+        model = CDQBM(image_shape=(6, 6), num_label_nodes=1, seed=0, kernel_size=3,
+                      pooling_size=2, pooling_type="deterministic",
+                      sequential_layer_sizes=[3], hidden_bias_type="shared",
+                      sample_count=32, sampler=GibbsSampler(num_warmup=4))
+        step = make_cdqbm_sharded_step(model, mesh)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 6, 6)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 8), dtype=jnp.float32)
+        mask = jnp.ones((8,), dtype=jnp.float32)
+        new_params, nll, _ = step(model.params, x, y, mask, 0.3, jax.random.key(4))
+        assert np.isfinite(float(nll))
+
+    def test_shard_model_trains_through_loop(self, devices):
+        from qbmx.train.loop import train_model
+
+        mesh = make_mesh(dp=8, chains=1)
+        model = CDQBM(image_shape=(4, 4), num_label_nodes=1, seed=1, kernel_size=3,
+                      pooling_size=2, pooling_type="probabilistic",
+                      sequential_layer_sizes=[2], hidden_bias_type="shared",
+                      sample_count=16, sampler=GibbsSampler(num_warmup=4))
+        shard_model(model, mesh)
+        rng = np.random.default_rng(4)
+        x = rng.uniform(0, 1, (16, 4, 4)).astype("float32")
+        y = rng.integers(0, 2, 16).astype("float32")
+        history = train_model(model, x, y, batch_size=8, learning_rate=0.2,
+                              epochs=2, verbose=False)
+        assert len(history.nll_per_epoch) == 2
