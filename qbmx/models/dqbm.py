@@ -344,6 +344,29 @@ class DiscQBM:
             preds = np.round(marg[:, 0]).astype(int)
         return preds, np.asarray(probs)
 
+    def get_result_distribution(self, samples_of_output_list, all_possible_patterns):
+        """Empirical distribution over output-node bit patterns (reference
+        ``get_result_distribution``, ``src/model/faster_dqbm.py:1243-1265``)."""
+        from collections import Counter
+
+        if self.use_one_hot_encoding:
+            keys = ["".join(str(int(v)) for v in s) for s in samples_of_output_list]
+        else:
+            keys = [str(int(v)) for v in np.asarray(samples_of_output_list).ravel()]
+        counts = Counter(keys)
+        total = sum(counts.values())
+        probs = {k: v / total for k, v in counts.items()} if total else {}
+        return [probs.get(p, 0.0) for p in all_possible_patterns]
+
+    def sample_output_patterns(self, X):
+        """Unclamped output-node samples for each input — feeds
+        get_result_distribution / the distribution bar plots."""
+        x = jnp.asarray(X, dtype=jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        Qu = unclamped_qubo_batch(self.params, x, self.beta_eff)
+        s_u = self.sampler.sample_batch(k, Qu, self.sample_count)
+        return np.asarray(s_u[:, :, : self.n_output_nodes]).reshape(-1, self.n_output_nodes)
+
     # -- checkpointing (reference pickle format compatible) ------------------
 
     def weight_objects(self):

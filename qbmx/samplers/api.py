@@ -95,6 +95,10 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         return SASampler(num_sweeps=num_sweeps, use_pallas=kwargs.get("use_pallas"))
     if s == "SA-JAX":
         return SASampler(num_sweeps=num_sweeps, use_pallas=False)
+    if s == "SA-NATIVE":
+        from qbmx.samplers.native import NativeSASampler
+
+        return NativeSASampler(num_sweeps=num_sweeps)
     if s == "BMS":
         return GibbsSampler(num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)))
     if s == "EXACT":
@@ -106,5 +110,6 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
             "kept per SURVEY.md §2a)."
         )
     raise ValueError(
-        f'Unknown solver {solver!r}. Valid: "SA", "SA-JAX", "SA-PALLAS", "BMS", "EXACT".'
+        f'Unknown solver {solver!r}. Valid: "SA", "SA-JAX", "SA-PALLAS", '
+        '"SA-NATIVE", "BMS", "EXACT".'
     )

@@ -99,3 +99,40 @@ class TestCLI:
             pooling_type="deterministic", sequential_layer_sizes=(3,),
         )
         assert 0.0 <= acc <= 1.0
+
+
+class TestPlotsAndDistribution:
+    def test_plot_factories_and_save_all(self, tmp_path):
+        import matplotlib
+        from qbmx.utils import plots
+        from qbmx.utils.metrics import History
+
+        h = History(errors_per_batch=[0.1, 0.2], error_per_epoch=[0.15],
+                    nll_per_batch=[0.7, 0.6], nll_per_epoch=[0.65])
+        plots.save_all(str(tmp_path / "run"), h, [0, 1, 1, 0], [0, 1, 0, 0], ["0", "1"])
+        for suffix in ["_loss_per_iteration.png", "_loss_per_epoch.png",
+                       "_nll_per_iteration.png", "_nll_per_epoch.png",
+                       "_confusion_matrix.png"]:
+            assert (tmp_path / ("run" + suffix)).exists()
+
+    def test_result_distribution(self):
+        from qbmx.models.dqbm import DiscQBM
+
+        m = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=8)
+        probs = m.get_result_distribution([0, 1, 1, 1], ["0", "1"])
+        assert probs == [0.25, 0.75]
+
+    def test_save_result_with_plots(self, tmp_path):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.utils.metrics import History, save_result
+
+        m = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=8)
+        h = History(errors_per_batch=[0.1], error_per_epoch=[0.1],
+                    nll_per_batch=[0.7], nll_per_epoch=[0.7])
+        acc, *_ = save_result(
+            str(tmp_path / "r"), m, h, m.weight_objects(), [0, 1], [0, 1],
+            ["0", "1"], 2, 1, "SA", 0.1, make_plots=True,
+        )
+        assert acc == 1.0
+        assert (tmp_path / "r_result.txt").exists()
+        assert (tmp_path / "r_confusion_matrix.png").exists()

@@ -1,0 +1,88 @@
+"""Native C++ SA sampler: build, correctness vs the exact oracle, and
+integration through the Sampler protocol (including inside a jitted step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.core.qubo import default_beta_range
+from qbmx.samplers.exact import exact_boltzmann
+
+native = pytest.importorskip("qbmx.samplers.native")
+
+if not native.native_available():
+    pytest.skip("g++ unavailable; native backend not buildable", allow_module_level=True)
+
+
+def random_qubo_batch(rng, B, n, scale=1.0):
+    return np.stack([np.triu(rng.uniform(-scale, scale, (n, n))) for _ in range(B)]).astype(
+        "float32"
+    )
+
+
+class TestNativeSA:
+    def test_beta_range_matches_python(self, rng):
+        import ctypes
+
+        from qbmx.core.qubo import default_beta_range as py_range
+
+        Q = random_qubo_batch(rng, 1, 6)[0]
+        lib = native.load_library()
+        hot = ctypes.c_double()
+        cold = ctypes.c_double()
+        lib.qbmx_sa_default_beta_range(
+            Q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 6,
+            ctypes.byref(hot), ctypes.byref(cold),
+        )
+        py_hot, py_cold = py_range(jnp.asarray(Q))
+        assert np.isclose(hot.value, float(py_hot), rtol=1e-5)
+        assert np.isclose(cold.value, float(py_cold), rtol=1e-5)
+
+    def test_marginals_match_oracle(self, rng):
+        B, n = 4, 6
+        Q = random_qubo_batch(rng, B, n)
+        out = native.sa_sample_batch_native(7, Q, 256, 500)
+        assert out.shape == (B, 256, n)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+        for b in range(B):
+            _, cold = default_beta_range(jnp.asarray(Q[b]))
+            _, _, marg, _ = exact_boltzmann(jnp.asarray(Q[b]), beta=float(cold))
+            err = np.abs(out[b].mean(axis=0) - np.asarray(marg)).max()
+            assert err < 0.35
+
+    def test_chains_independent(self, rng):
+        # weak couplings at a mild schedule: reads must differ
+        Q = random_qubo_batch(rng, 1, 8, scale=0.05)
+        out = native.sa_sample_batch_native(3, Q, 64, 5)
+        assert len({tuple(r) for r in out[0]}) > 5
+
+    def test_deterministic_given_seed(self, rng):
+        Q = random_qubo_batch(rng, 2, 5)
+        a = native.sa_sample_batch_native(42, Q, 32, 50)
+        b = native.sa_sample_batch_native(42, Q, 32, 50)
+        assert np.array_equal(a, b)
+
+    def test_protocol_and_jit_integration(self, rng):
+        from qbmx.samplers.api import get_sampler
+
+        sampler = get_sampler("SA-NATIVE", num_sweeps=100)
+        Q = jnp.asarray(random_qubo_batch(rng, 2, 4))
+
+        @jax.jit
+        def f(key, Q):
+            return sampler.sample_batch(key, Q, 16).mean(axis=1)
+
+        marg = f(jax.random.key(0), Q)
+        assert marg.shape == (2, 4)
+        assert np.all(np.asarray(marg) >= 0) and np.all(np.asarray(marg) <= 1)
+
+    def test_trains_dqbm(self, rng):
+        from qbmx.models.dqbm import DiscQBM
+
+        model = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=64,
+                        solver="SA-NATIVE", anneal_steps=50)
+        x = rng.uniform(0, 1, (8, 4)).astype("float32")
+        y = rng.integers(0, 2, 8).astype("float32")
+        err, nll = model.train_for_one_iteration(x, y, 0.2)
+        assert np.isfinite(nll)
