@@ -1,0 +1,71 @@
+"""Full training-state checkpointing (params + history + RNG + epoch).
+
+The reference checkpoints only the weight pickle per epoch and on crash
+(``src/model/faster_dqbm.py:1069-1077, 1128-1134``); resuming re-derives
+everything else.  Here a checkpoint is a single ``.npz`` with
+path-addressed parameter leaves plus a JSON-encoded scalar state, so a run
+resumes exactly (same params, same PRNG stream position, same history).
+Reference-format weight pickles remain supported through each model's
+``save_weights`` / ``load_savepoint`` / ``load_params``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbmx.utils.metrics import History
+
+
+def _flatten_params(params):
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in leaves:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(path, model, history: History | None = None, epoch: int = 0):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {f"param:{k}": v for k, v in _flatten_params(model.params).items()}
+    arrays["rng_key"] = np.asarray(jax.random.key_data(model.key))
+    meta = {
+        "epoch": int(epoch),
+        "history": dataclasses.asdict(history) if history is not None else None,
+        "model_class": type(model).__name__,
+    }
+    arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path, model) -> tuple[History | None, int]:
+    """Restore params/RNG into ``model`` in place; returns (history, epoch)."""
+    data = np.load(Path(path) if str(path).endswith(".npz") else Path(str(path) + ".npz"))
+    flat = {k[len("param:"):]: data[k] for k in data.files if k.startswith("param:")}
+
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(model.params)
+    new_leaves = []
+    for p, leaf in leaves_with_paths:
+        key = "/".join(str(x) for x in p)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing parameter {key}")
+        arr = flat[key]
+        if arr.shape != np.asarray(leaf).shape:
+            raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {np.asarray(leaf).shape}")
+        new_leaves.append(jnp.asarray(arr))
+    model.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    model.key = jax.random.wrap_key_data(jnp.asarray(data["rng_key"]))
+
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    history = None
+    if meta.get("history") is not None:
+        h = meta["history"]
+        history = History(**{k: h.get(k, []) for k in History.__dataclass_fields__})
+    return history, meta.get("epoch", 0)

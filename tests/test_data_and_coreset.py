@@ -136,3 +136,42 @@ class TestPlotsAndDistribution:
         assert acc == 1.0
         assert (tmp_path / "r_result.txt").exists()
         assert (tmp_path / "r_confusion_matrix.png").exists()
+
+
+class TestFullCheckpoint:
+    def test_roundtrip_resume(self, tmp_path):
+        import jax
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import GibbsSampler
+        from qbmx.utils.checkpoint import load_checkpoint, save_checkpoint
+        from qbmx.utils.metrics import History
+
+        m = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=5, sample_count=16,
+                    sampler=GibbsSampler(num_warmup=4))
+        x = np.random.default_rng(0).uniform(0, 1, (8, 4)).astype("float32")
+        y = np.asarray([0, 1] * 4, dtype="float32")
+        m.train_for_one_iteration(x, y, 0.1)
+        h = History(errors_per_batch=[0.5], acc_per_epoch=[0.7])
+        save_checkpoint(tmp_path / "ck", m, h, epoch=3)
+
+        m2 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=99, sample_count=16,
+                     sampler=GibbsSampler(num_warmup=4))
+        h2, epoch = load_checkpoint(tmp_path / "ck", m2)
+        assert epoch == 3
+        assert h2.acc_per_epoch == [0.7]
+        for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(m2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+        # identical RNG stream position -> identical next draw
+        k1 = jax.random.split(m.key)[1]
+        k2 = jax.random.split(m2.key)[1]
+        assert np.array_equal(jax.random.key_data(k1), jax.random.key_data(k2))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        m = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=5, sample_count=8)
+        save_checkpoint(tmp_path / "ck", m)
+        m_other = DiscQBM(dim_input=4, n_hidden_nodes=5, seed=5, sample_count=8)
+        with pytest.raises(ValueError):
+            load_checkpoint(tmp_path / "ck", m_other)

@@ -217,3 +217,19 @@ class TestEndToEnd:
                         load_path=str(path))
         assert np.allclose(np.asarray(model.params.w_vh), objs[0])
         assert np.allclose(np.asarray(model.params.w_hh), 0.0)
+
+
+class TestOneHotMulticlass:
+    def test_three_class_one_hot_learns(self):
+        """Multi-node one-hot labels (reference use_one_hot_encoding=True,
+        src/model/faster_dqbm.py:77-81): 3-class synthetic task."""
+        from qbmx.data.loaders import synthetic_images
+
+        x, y = synthetic_images(90, shape=(4, 4), num_classes=3, seed=0)
+        x = x.reshape(len(x), -1)
+        m = DiscQBM(dim_input=16, num_classes=3, n_hidden_nodes=4, seed=1,
+                    sample_count=128, use_one_hot_encoding=True,
+                    sampler=GibbsSampler(num_warmup=16))
+        h = train_model(m, x, y, x, y, batch_size=30, learning_rate=0.4,
+                        epochs=8, class_titles=["0", "1", "2"], verbose=False)
+        assert max(h.acc_per_epoch) >= 0.8
