@@ -61,6 +61,11 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
             "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte",
             classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
         return train, (None, None), test
+    if data_set == "cifar-10":
+        train = loaders.get_cifar10(classes=[3, 5], samples_per_class=samples_per_class or 200,
+                                    seed=seed, train=True)
+        test = loaders.get_cifar10(classes=[3, 5], samples_per_class=50, seed=seed, train=False)
+        return train, (None, None), test
     if data_set == "synthetic":
         x, y = loaders.synthetic_images(800, seed=seed)
         return (x[:600], y[:600]), (x[600:700], y[600:700]), (x[700:], y[700:])

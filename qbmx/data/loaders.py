@@ -183,6 +183,45 @@ def reshape_pad_and_flatten(images, original_shape, pad: int):
     return np.pad(images, ((0, 0), (pad, pad), (pad, pad)), mode="constant")
 
 
+def get_cifar10(data_dir: str = "cifar-10-batches-py", classes=None, size=None,
+                samples_per_class=None, seed: int = 42, train: bool = True,
+                grayscale: bool = True):
+    """CIFAR-10 from the standard python-pickle batches on disk.
+
+    The reference's CIFAR path (``get_cifar10_from_torch`` referenced at
+    ``qbm_main.py:45``) is dead code behind commented-out torchvision
+    imports; this loader reads the stock ``cifar-10-batches-py`` directory
+    directly (no torchvision, no download) and grayscales to (N, 32, 32)
+    like the reference's intended Grayscale transform.
+    """
+    import pickle
+
+    root = Path(data_dir)
+    if not root.is_dir():
+        alt = find_data_root()
+        if alt is not None and (alt / data_dir).is_dir():
+            root = alt / data_dir
+        else:
+            raise FileNotFoundError(data_dir)
+    files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    imgs, labels = [], []
+    for name in files:
+        with open(root / name, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        imgs.append(np.asarray(d[b"data"], dtype="float32") / 255)
+        labels.append(np.asarray(d[b"labels"]))
+    images = np.concatenate(imgs).reshape(-1, 3, 32, 32)
+    labels = np.concatenate(labels)
+    if grayscale:
+        # ITU-R 601 luma, matching torchvision.Grayscale
+        images = (
+            0.299 * images[:, 0] + 0.587 * images[:, 1] + 0.114 * images[:, 2]
+        )
+    else:
+        images = images.transpose(0, 2, 3, 1)
+    return _finish_classification(images, labels, classes, size, samples_per_class, seed)
+
+
 def binarize(x, threshold: float = 0.5):
     """Binarize [0,1] pixel intensities — the CD-k/BASELINE ingest step."""
     return (np.asarray(x) > threshold).astype("float32")

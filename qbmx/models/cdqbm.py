@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qbmx.models.base import QBMModel
 from qbmx.models.geometry import StackGeometry, patch_index_grid
 from qbmx.samplers.api import Sampler, get_sampler
 
@@ -129,7 +130,7 @@ def build_penalty_matrix(geo: StackGeometry, penalty: float = PROB_POOL_PENALTY)
 # ---------------------------------------------------------------------------
 
 
-class CDQBM:
+class CDQBM(QBMModel):
     """Stateful model holding static geometry + parameter pytree, with the
     reference API surface (train via qbmx.train.loop, predict, save/load)."""
 
@@ -412,6 +413,31 @@ class CDQBM:
         s_u = self.sampler.sample_batch(key, Qu, self.sample_count)
         probs = self._probs_from_samples(s_u)
         return probs
+
+    # -- functional pipeline API (reference src/train/pipeline.py parity) ----
+
+    def run_unclamped(self, x_img, num_reads=None, key=None):
+        """Single-image unclamped run → (samples, probs), mirroring
+        ``run_unclamped`` (``src/train/pipeline.py:13-29``)."""
+        reads = num_reads or self.sample_count
+        if key is None:
+            self.key, key = jax.random.split(self.key)
+        x = jnp.asarray(x_img, dtype=jnp.float32)
+        Qu = self.unclamped_qubo(self.params, x)[None]
+        s = self.sampler.sample_batch(key, Qu, reads)
+        probs = self._probs_from_samples(s)
+        return np.asarray(s[0]), np.asarray(probs[0])
+
+    def run_clamped(self, x_img, label_vec, num_reads=None, key=None):
+        """Single-image clamped run → samples, mirroring ``run_clamped``
+        (``src/train/pipeline.py:31-36``)."""
+        reads = num_reads or self.sample_count
+        if key is None:
+            self.key, key = jax.random.split(self.key)
+        x = jnp.asarray(x_img, dtype=jnp.float32)
+        Qc = self.clamped_qubo(self.params, x, jnp.asarray(label_vec, jnp.float32))[None]
+        s = self.sampler.sample_batch(key, Qc, reads)
+        return np.asarray(s[0])
 
     def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
         x = jnp.asarray(x_batch, dtype=jnp.float32)

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qbmx.models.base import QBMModel
 from qbmx.samplers.api import Sampler, get_sampler
 
 Pytree = Any
@@ -209,7 +210,7 @@ def nll_from_probs(probs: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
-class DiscQBM:
+class DiscQBM(QBMModel):
     """Stateful wrapper with the reference's API surface
     (train_model / predict / save_weights / load_savepoint) around the
     functional core above."""
@@ -252,6 +253,7 @@ class DiscQBM:
 
         self._step = self._build_step()
         self._predict_probs = self._build_predict()
+        self._epoch_scan = self._build_epoch_scan()
 
     # -- jitted computations -------------------------------------------------
 
@@ -315,7 +317,46 @@ class DiscQBM:
 
         return predict_probs
 
+    def _build_epoch_scan(self):
+        inner = self._build_step()
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, key):
+            def body(carry, xs):
+                params, key = carry
+                key, k = jax.random.split(key)
+                x, y, m = xs
+                params, nll, err = inner(params, x, y, m, lr, k)
+                return (params, key), (nll, err)
+
+            (params, key), (nlls, errs) = jax.lax.scan(body, (params, key), (xb, yb, maskb))
+            return params, nlls, errs
+
+        return epoch
+
     # -- public API ----------------------------------------------------------
+
+    def train_epoch(self, x, y, batch_size, learning_rate):
+        """One epoch as a single device computation (lax.scan over batches) —
+        avoids the per-batch host roundtrips of the reference-style loop.
+        The ragged tail batch is zero-padded and masked.  Returns per-batch
+        (nll, err) arrays."""
+        x = np.asarray(x, dtype="float32")
+        y = np.asarray(y)
+        n = len(x)
+        nb = -(-n // batch_size)
+        pad = nb * batch_size - n
+        mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+        xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+        yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
+        xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
+        yb = jnp.asarray(yp.reshape(nb, batch_size))
+        maskb = jnp.asarray(mask.reshape(nb, batch_size))
+        self.key, k = jax.random.split(self.key)
+        self.params, nlls, errs = self._epoch_scan(
+            self.params, xb, yb, maskb, learning_rate, k
+        )
+        return np.asarray(nlls), np.asarray(errs)
 
     def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
         x = jnp.asarray(x_batch, dtype=jnp.float32)

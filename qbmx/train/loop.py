@@ -21,6 +21,36 @@ import numpy as np
 from qbmx.utils.metrics import History, get_metrics, save_history
 
 
+def _run_epoch_batches(model, train_X, train_Y, batch_size, learning_rate, history,
+                       save_folder, epoch):
+    """Reference-style per-batch loop (used for mesh-sharded models and any
+    model without a scanned-epoch path)."""
+    epoch_errors = 0.0
+    epoch_nll = 0.0
+    batchnum = 1
+    for b in range(0, len(train_X), batch_size):
+        x_batch = train_X[b : b + batch_size]
+        y_batch = train_Y[b : b + batch_size]
+        if len(x_batch) == 0:
+            continue
+        xp, yp, mask = _pad_batch(x_batch, y_batch, batch_size)
+        try:
+            err, nll = model.train_for_one_iteration(xp, yp, learning_rate, mask=mask)
+        except Exception:
+            # crash insurance: checkpoint weights + history, then re-raise
+            # (reference ``src/model/faster_dqbm.py:1128-1132``)
+            if save_folder:
+                model.save_weights(f"e{epoch}_b{batchnum}_crash", save_folder)
+                save_history(f"{save_folder}/", history)
+            raise
+        epoch_errors += err
+        epoch_nll += nll
+        history.errors_per_batch.append(err)
+        history.nll_per_batch.append(nll)
+        batchnum += 1
+    return epoch_errors, epoch_nll
+
+
 def _pad_batch(x, y, batch_size):
     n = x.shape[0]
     if n == batch_size:
@@ -58,30 +88,30 @@ def train_model(
     n = len(train_X)
     num_batches = max(n // batch_size, 1)
 
+    use_scan = hasattr(model, "train_epoch") and getattr(model, "mesh", None) is None
+
     for epoch in range(1, epochs + 1):
         epoch_errors = 0.0
         epoch_nll = 0.0
         batchnum = 1
-        for b in range(0, n, batch_size):
-            x_batch = train_X[b : b + batch_size]
-            y_batch = train_Y[b : b + batch_size]
-            if len(x_batch) == 0:
-                continue
-            xp, yp, mask = _pad_batch(x_batch, y_batch, batch_size)
+        if use_scan:
+            # whole epoch in one device computation (scan over batches)
             try:
-                err, nll = model.train_for_one_iteration(xp, yp, learning_rate, mask=mask)
+                nlls, errs = model.train_epoch(train_X, train_Y, batch_size, learning_rate)
             except Exception:
-                # crash insurance: checkpoint weights + history, then re-raise
-                # (reference ``src/model/faster_dqbm.py:1128-1132``)
                 if save_folder:
-                    model.save_weights(f"e{epoch}_b{batchnum}_crash", save_folder)
+                    model.save_weights(f"e{epoch}_crash", save_folder)
                     save_history(f"{save_folder}/", history)
                 raise
-            epoch_errors += err
-            epoch_nll += nll
-            history.errors_per_batch.append(err)
-            history.nll_per_batch.append(nll)
-            batchnum += 1
+            history.errors_per_batch.extend(float(e) for e in errs)
+            history.nll_per_batch.extend(float(v) for v in nlls)
+            epoch_errors = float(np.sum(errs))
+            epoch_nll = float(np.sum(nlls))
+        else:
+            epoch_errors, epoch_nll = _run_epoch_batches(
+                model, train_X, train_Y, batch_size, learning_rate, history,
+                save_folder, epoch,
+            )
 
         if save_folder:
             model.save_weights(f"e{epoch}", save_folder)

@@ -293,3 +293,33 @@ class TestTraining:
         emb = model.get_last_hidden_embedding(x)
         assert emb.shape == (5, 3)
         assert np.all(emb >= 0) and np.all(emb <= 1)
+
+
+class TestPipelineAndViz:
+    def test_run_clamped_unclamped(self):
+        model = CDQBM(image_shape=(4, 4), kernel_size=3, pooling_size=2,
+                      sequential_layer_sizes=[2], seed=0, sample_count=16,
+                      sampler=GibbsSampler(num_warmup=4))
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (4, 4)).astype("float32")
+        s, probs = model.run_unclamped(x)
+        assert s.shape == (16, model.geo.n_total)
+        assert probs.shape == (2,) and abs(probs.sum() - 1) < 1e-5
+        sc = model.run_clamped(x, np.asarray([1.0]))
+        assert sc.shape == (16, model.geo.n_hidden)
+
+    def test_visualize_architecture(self, tmp_path):
+        from qbmx.utils.viz import visualize_architecture
+
+        model = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                      pooling_type="probabilistic", sequential_layer_sizes=[3],
+                      seed=0, sample_count=8)
+        fig = visualize_architecture(model, save_path=str(tmp_path / "arch.png"))
+        assert (tmp_path / "arch.png").exists()
+
+    def test_is_qbm_model(self):
+        from qbmx.models.base import QBMModel
+        from qbmx.models.dqbm import DiscQBM
+
+        assert issubclass(CDQBM, QBMModel)
+        assert issubclass(DiscQBM, QBMModel)
