@@ -146,26 +146,32 @@ def make_train_step(
     sparse_constant: float = 0.0,
     generative_factor: float = 0.0,
 ):
-    """Build a jitted step: (params, key, x, y, lr) → (params, loss).
+    """Build a jitted step: (params, key, x, y, lr[, chain]) → (params, loss[, chain]).
 
     method: 'discriminative' (exact gradient, reference behavior),
-    'generative' (CD-k), or 'hybrid' (disc + generative_factor · CD-k,
-    the reference CLI's documented-but-unimplemented mode).
+    'generative' (CD-k), 'pcd' (persistent CD — the Gibbs chain carries over
+    between steps instead of restarting at the data), or 'hybrid'
+    (disc + generative_factor · CD-k, the reference CLI's
+    documented-but-unimplemented mode).
     """
+    persistent = method == "pcd"
 
-    def step(params: RBMParams, key, x, y, lr):
+    def step(params: RBMParams, key, x, y, lr, chain=None):
         updates = jax.tree.map(jnp.zeros_like, params)
         loss = jnp.float32(0.0)
+        new_chain = chain
         if method in ("discriminative", "hybrid"):
             nll, grad = jax.value_and_grad(discriminative_nll)(params, x, y)
             updates = jax.tree.map(lambda u, g: u - g, updates, grad)
             loss = nll
-        if method in ("generative", "hybrid"):
+        if method in ("generative", "hybrid", "pcd"):
             factor = generative_factor if method == "hybrid" else 1.0
             y_onehot = jax.nn.one_hot(y.astype(jnp.int32), num_classes)
-            pos, neg, _ = cd_stats(params, key, x, y_onehot, cd_k)
+            v_init, y_init = (chain if persistent and chain is not None else (None, None))
+            pos, neg, new_chain = cd_stats(params, key, x, y_onehot, cd_k,
+                                           v_init=v_init, y_init=y_init)
             updates = jax.tree.map(lambda u, p, n: u + factor * (p - n), updates, pos, neg)
-            if method == "generative":
+            if method in ("generative", "pcd"):
                 loss = jnp.mean((x - _visible_prob(params, _hidden_prob(params, x, y_onehot))) ** 2)
         new = jax.tree.map(lambda p, u: p + lr * u, params, updates)
         # sparsity shrinkage on biases, reference ``update_weights``
@@ -177,6 +183,8 @@ def make_train_step(
                 hidden_bias=new.hidden_bias - sparse_constant,
                 class_bias=new.class_bias - sparse_constant,
             )
+        if persistent:
+            return new, loss, new_chain
         return new, loss
 
     return jax.jit(step)
@@ -233,6 +241,7 @@ class ClassificationRBM:
             num_classes, method=method, cd_k=k, sparse_constant=sparse_constant,
             generative_factor=generative_factor,
         )
+        self._chain = None  # persistent (v, y) fantasy particles for PCD
         self.acc_per_epoch_list: list[float] = []
         self.auc_per_epoch_list: list[float] = []
 
@@ -246,7 +255,8 @@ class ClassificationRBM:
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         loss_list, nll_list = [], []
-        epoch_fn = make_epoch_scan(self._step)
+        is_pcd = self.method == "pcd"
+        epoch_fn = None if is_pcd else make_epoch_scan(self._step)
         for _ in range(epochs):
             if shuffle:
                 self.key, kp = jax.random.split(self.key)
@@ -258,14 +268,25 @@ class ClassificationRBM:
             xb = xs[: nb * batch_size].reshape(nb, batch_size, -1)
             yb = ys[: nb * batch_size].reshape(nb, batch_size)
             self.key, ke = jax.random.split(self.key)
-            self.params, mean_loss = epoch_fn(self.params, ke, xb, yb, self.learning_rate)
-            # remainder batch (reference trains it too)
-            if n % batch_size:
-                self.key, kr = jax.random.split(self.key)
-                self.params, _ = self._step(
-                    self.params, kr, xs[nb * batch_size :], ys[nb * batch_size :],
-                    self.learning_rate,
-                )
+            if is_pcd:
+                # chain state carries across batches (fixed batch shape)
+                losses = []
+                for b in range(nb):
+                    ke, k = jax.random.split(ke)
+                    self.params, loss, self._chain = self._step(
+                        self.params, k, xb[b], yb[b], self.learning_rate, self._chain
+                    )
+                    losses.append(float(loss))
+                mean_loss = float(np.mean(losses)) if losses else float("nan")
+            else:
+                self.params, mean_loss = epoch_fn(self.params, ke, xb, yb, self.learning_rate)
+                # remainder batch (reference trains it too)
+                if n % batch_size:
+                    self.key, kr = jax.random.split(self.key)
+                    self.params, _ = self._step(
+                        self.params, kr, xs[nb * batch_size :], ys[nb * batch_size :],
+                        self.learning_rate,
+                    )
             loss_list.append(float(mean_loss))
             nll_list.append(float(mean_loss))
             if test_x is not None:

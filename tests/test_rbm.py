@@ -136,3 +136,56 @@ class TestEndToEnd:
                                 generative_factor=0.01)
         loss_list, _, _ = rbm.train_rbm(x, y, epochs=2, batch_size=10)
         assert len(loss_list) == 2
+
+
+class TestPCD:
+    def test_pcd_runs_and_learns(self, rng):
+        D = 8
+        modes = np.asarray([[1, 1, 1, 1, 0, 0, 0, 0], [0, 0, 0, 0, 1, 1, 1, 1]],
+                           dtype="float32")
+        idx = rng.integers(0, 2, 120)
+        x, y = modes[idx], idx.astype("int32")
+        rbm = ClassificationRBM(num_visible=D, num_hidden=6, k=1, num_classes=2,
+                                learning_rate=0.1, seed=0, method="pcd")
+        loss_list, _, _ = rbm.train_rbm(x, y, epochs=6, batch_size=24)
+        assert rbm._chain is not None  # fantasy particles persisted
+        assert loss_list[-1] < loss_list[0]
+
+
+class TestWarmStart:
+    def test_warm_start_preserves_decision_function(self, rng):
+        """After CD/exact pre-training, the mapped DQBM's exact p(y=1|x) must
+        equal the RBM's (binary-node collapse is exact)."""
+        import jax
+        from qbmx.models.rbm import predict_proba
+        from qbmx.models.warmstart import warm_start_dqbm
+        from qbmx.samplers.api import ExactSampler
+
+        x, y = toy_data(rng, n=60, D=6)
+        rbm = ClassificationRBM(num_visible=6, num_hidden=3, num_classes=2,
+                                learning_rate=0.3, seed=1)
+        rbm.train_rbm(x, y, epochs=5, batch_size=12)
+        rbm_probs = np.asarray(predict_proba(rbm.params, jnp.asarray(x[:10])))
+
+        model = warm_start_dqbm(rbm, seed=0, sample_count=4096,
+                                sampler=ExactSampler())
+        _, qbm_probs = model.predict_batch(x[:10])
+        # sampled marginals track the exact RBM posterior
+        assert np.allclose(qbm_probs[:, 1], rbm_probs[:, 1], atol=0.06)
+
+    def test_warm_start_then_sampled_training_improves(self, rng):
+        from qbmx.models.warmstart import warm_start_dqbm
+        from qbmx.samplers.api import GibbsSampler
+
+        x, y = toy_data(rng, n=60, D=6)
+        rbm = ClassificationRBM(num_visible=6, num_hidden=3, num_classes=2,
+                                learning_rate=0.3, seed=1)
+        rbm.train_rbm(x, y, epochs=2, batch_size=12)
+        model = warm_start_dqbm(rbm, seed=0, sample_count=128,
+                                sampler=GibbsSampler(num_warmup=16))
+        preds0, _ = model.predict_batch(x)
+        acc0 = (preds0 == y).mean()
+        for _ in range(10):
+            model.train_for_one_iteration(x, y.astype("float32"), 0.3)
+        preds1, _ = model.predict_batch(x)
+        assert (preds1 == y).mean() >= acc0 - 0.05  # no catastrophic forgetting
