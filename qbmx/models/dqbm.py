@@ -336,6 +336,17 @@ class DiscQBM(QBMModel):
 
     # -- public API ----------------------------------------------------------
 
+    def supports_epoch_scan(self) -> bool:
+        """Whole-epoch scan is disabled when the sampler routes to the Pallas
+        kernel: a pallas_call inside lax.scan hangs the remote AOT compiler
+        on the axon toolchain (empirically; plain jitted calls are fine)."""
+        from qbmx.samplers.api import SASampler
+
+        if isinstance(self.sampler, SASampler):
+            n = self.n_output_nodes + self.n_hidden_nodes
+            return not self.sampler._pallas_enabled(jnp.zeros((1, n, n)))
+        return True
+
     def train_epoch(self, x, y, batch_size, learning_rate):
         """One epoch as a single device computation (lax.scan over batches) —
         avoids the per-batch host roundtrips of the reference-style loop.

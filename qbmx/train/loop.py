@@ -88,7 +88,11 @@ def train_model(
     n = len(train_X)
     num_batches = max(n // batch_size, 1)
 
-    use_scan = hasattr(model, "train_epoch") and getattr(model, "mesh", None) is None
+    use_scan = (
+        hasattr(model, "train_epoch")
+        and getattr(model, "mesh", None) is None
+        and (not hasattr(model, "supports_epoch_scan") or model.supports_epoch_scan())
+    )
 
     for epoch in range(1, epochs + 1):
         epoch_errors = 0.0
