@@ -15,6 +15,16 @@ from qbmx.data import loaders
 if os.environ.get("QBMX_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["QBMX_PLATFORM"])
 
+# Persistent compilation cache: sweep CLIs spawn one process per seed and
+# would otherwise pay the full (remote) compile for every run.
+_cache_dir = os.environ.get("QBMX_COMPILE_CACHE", os.path.expanduser("~/.cache/qbmx_jax"))
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def str2bool(v) -> bool:
     """Proper boolean flag parsing (the reference's ``type=bool`` treats any

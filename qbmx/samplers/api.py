@@ -58,12 +58,14 @@ class SASampler:
             return False
         if platform not in ("tpu",):
             return False
-        # Auto-route: block-diagonal packing pays off when ≥4 problems share a
-        # 128-tile (measured on v5e: 3× over the XLA sampler at n=6; the XLA
-        # sampler wins for larger problems where P < 4).
+        # Auto-route: interleaved packing needs P ≥ 8 (Mosaic sublane
+        # alignment) and the anneal state must fit VMEM comfortably; the XLA
+        # sampler wins beyond that (it shares sequential steps across the
+        # whole batch).
         from qbmx.samplers.sa_pallas import pack_geometry
 
-        return pack_geometry(int(Q.shape[-1]))[1] >= 4
+        stride, P, N = pack_geometry(int(Q.shape[-1]))
+        return P >= 8 and N * N * 4 < 4 * 2**20
 
 
 @dataclasses.dataclass(frozen=True)

@@ -183,7 +183,7 @@ class TestPallasRouting:
         from qbmx.samplers.sa_pallas import pack_geometry
 
         assert pack_geometry(5) == (8, 16, 128)   # 16 flat-QBM problems/tile
-        assert pack_geometry(41) == (48, 2, 128)
+        assert pack_geometry(41) == (48, 8, 384)
         assert pack_geometry(717) == (720, 1, 768)
 
     def test_large_problem_falls_back_in_auto_mode(self):
