@@ -190,5 +190,5 @@ class TestPallasRouting:
         from qbmx.samplers.api import SASampler
         from qbmx.samplers.sa_pallas import pack_geometry
 
-        assert pack_geometry(6)[1] >= 4      # packed: Pallas-eligible
-        assert pack_geometry(100)[1] == 1    # not packed: XLA path
+        assert pack_geometry(6)[1] >= 8      # packed: Pallas-eligible
+        assert pack_geometry(300)[1] == 1    # not packable: XLA path
