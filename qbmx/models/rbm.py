@@ -21,9 +21,6 @@ Everything is jitted; ``train_epoch_scan`` runs a whole epoch as one
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,12 +19,10 @@ parameters — no tensor parallelism is warranted, SURVEY.md §2d).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from qbmx.models import cdqbm as cdqbm_mod
 from qbmx.models import dqbm as dqbm_mod

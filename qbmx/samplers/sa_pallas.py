@@ -44,11 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qbmx.core.qubo import default_beta_range, split_qubo
 
-# Above this many (padded) variables the QUBO no longer fits a sensible tile
-# and the XLA batched sampler wins by sharing sequential steps across the
-# whole problem set.
-MAX_PACK_VARS = 512
-
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
