@@ -58,6 +58,9 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
             x, y = loaders.get_mnist(
                 "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
                 classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            # per-class subsampling concatenates classes in order — shuffle
+            # before splitting or the tail split is single-class
+            x, y = loaders.shuffle_images(x, y, seed)
             n = len(x)
             a, b = int(0.8 * n), int(0.9 * n)
             return (x[:a], y[:a]), (x[a:b], y[a:b]), (x[b:], y[b:])

@@ -24,6 +24,7 @@ def main(
     num_classes=2, save="out/", name="run", pooling_size=4,
     pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
+    samples_per_class=50,
 ):
     print("Start")
     random.seed(seed)
@@ -32,7 +33,8 @@ def main(
 
     print("Loading data...")
     (train_x, train_y), _, (test_x, test_y) = load_dataset(
-        data_set, seed=seed, samples_per_class=50 if data_set == "mnist" else None
+        data_set, seed=seed,
+        samples_per_class=samples_per_class if data_set in ("mnist", "fashionmnist") else None,
     )
     print("Data loaded")
 
@@ -130,6 +132,11 @@ def build_parser():
     p.add_argument("--seq_sizes", type=int, nargs="*", default=[4])
     p.add_argument("--coreset_budget", type=int, default=0,
                    help="k-center coreset size (0 = use all training data)")
+    p.add_argument("--beta_eff", type=float, default=1.0,
+                   help="effective inverse temperature divisor (the reference "
+                        "hardcodes 1.0; raise it to soften saturated conv units)")
+    p.add_argument("--samples_per_class", type=int, default=50,
+                   help="per-class training subsample for mnist/fashionmnist")
     return p
 
 
@@ -140,7 +147,7 @@ if __name__ == "__main__":
         os.makedirs(flags.save, exist_ok=True)
     main(
         seed=flags.seed, solver=flags.solver, sample_count=flags.sample_count,
-        anneal=flags.anneal, beta_eff=1.0, epochs=flags.epochs,
+        anneal=flags.anneal, beta_eff=flags.beta_eff, epochs=flags.epochs,
         batch_size=flags.batch_size, learning_rate=flags.learning_rate,
         restricted=flags.restricted, data_set=flags.data_set,
         num_classes=flags.num_classes, save=flags.save, name=flags.name,
@@ -148,4 +155,5 @@ if __name__ == "__main__":
         hidden_bias_type=flags.hidden_bias_type, one_hot=flags.one_hot,
         sequential_layer_sizes=flags.seq_sizes, kernel_size=flags.kernel_size,
         stride=flags.stride, coreset_budget=flags.coreset_budget,
+        samples_per_class=flags.samples_per_class,
     )

@@ -175,3 +175,19 @@ class TestFullCheckpoint:
         m_other = DiscQBM(dim_input=4, n_hidden_nodes=5, seed=5, sample_count=8)
         with pytest.raises(ValueError):
             load_checkpoint(tmp_path / "ck", m_other)
+
+
+class TestDatasetResolution:
+    def test_mnist_fallback_split_is_class_mixed(self):
+        """The t10k fallback split must shuffle before slicing — a sorted
+        per-class concatenation would make the test tail single-class."""
+        import pathlib
+
+        if not pathlib.Path("/root/reference/src/data/mnist/t10k-images-idx3-ubyte.gz").exists():
+            pytest.skip("reference data not mounted")
+        from qbmx.cli._common import load_dataset
+
+        (tx, ty), (vx, vy), (sx, sy) = load_dataset("mnist", seed=1, samples_per_class=50)
+        assert len(set(np.unique(sy))) == 2
+        assert len(set(np.unique(ty))) == 2
+        assert 0.2 < np.mean(sy) < 0.8  # both classes present in test
