@@ -354,11 +354,6 @@ class CDQBM(QBMModel):
 
     # -- training / prediction ----------------------------------------------
 
-    def _label_vecs(self, y):
-        if self.use_one_hot_encoding:
-            return jax.nn.one_hot(y.astype(jnp.int32), self.geo.n_out)
-        return y.astype(jnp.float32)[:, None]
-
     def _step_fn(self, params, x_imgs, y, mask, lr, key):
         geo = self.geo
         y_vec = (

@@ -257,11 +257,6 @@ class DiscQBM(QBMModel):
 
     # -- jitted computations -------------------------------------------------
 
-    def _label_vec(self, y: jax.Array) -> jax.Array:
-        if self.use_one_hot_encoding:
-            return jax.nn.one_hot(y.astype(jnp.int32), self.n_output_nodes)
-        return y.astype(jnp.float32)[:, None]
-
     def _build_step(self):
         sampler = self.sampler
         n_out = self.n_output_nodes

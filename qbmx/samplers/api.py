@@ -80,6 +80,22 @@ class GibbsSampler:
 
 
 @dataclasses.dataclass(frozen=True)
+class PTSampler:
+    """Parallel-tempering (replica exchange) sampler at a target beta —
+    better mixing than one-way annealing on frustrated landscapes."""
+
+    num_sweeps: int = 64
+    num_replicas: int = 8
+    beta_target: float = 1.0
+
+    def sample_batch(self, key, Q, num_reads):
+        from qbmx.samplers.tempering import pt_sample_batch
+
+        return pt_sample_batch(key, Q, num_reads, self.num_sweeps,
+                               self.num_replicas, self.beta_target)
+
+
+@dataclasses.dataclass(frozen=True)
 class ExactSampler:
     """Exact enumeration oracle (n ≤ 20). The test anchor for everything else."""
 
@@ -103,6 +119,12 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         return NativeSASampler(num_sweeps=num_sweeps)
     if s == "BMS":
         return GibbsSampler(num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)))
+    if s == "PT":
+        return PTSampler(
+            num_sweeps=kwargs.get("num_warmup", max(num_sweeps // 16, 16)),
+            num_replicas=kwargs.get("num_replicas", 8),
+            beta_target=kwargs.get("beta", 1.0),
+        )
     if s == "EXACT":
         return ExactSampler(beta=kwargs.get("beta", 1.0))
     if s.startswith("ADVANTAGE") or s.startswith("DW_") or s == "FUJITSUDAU":
@@ -113,5 +135,5 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         )
     raise ValueError(
         f'Unknown solver {solver!r}. Valid: "SA", "SA-JAX", "SA-PALLAS", '
-        '"SA-NATIVE", "BMS", "EXACT".'
+        '"SA-NATIVE", "BMS", "PT", "EXACT".'
     )

@@ -192,3 +192,49 @@ class TestPallasRouting:
 
         assert pack_geometry(6)[1] >= 8      # packed: Pallas-eligible
         assert pack_geometry(300)[1] == 1    # not packable: XLA path
+
+
+class TestParallelTempering:
+    def test_matches_boltzmann_at_target(self, rng):
+        from qbmx.samplers.tempering import pt_sample
+
+        Q = random_qubo(rng, 6, scale=1.5)
+        _, _, marg, pair = exact_boltzmann(Q, beta=1.0)
+        s = pt_sample(jax.random.key(0), Q, 1024, num_sweeps=48, num_replicas=6)
+        assert s.shape == (1024, 6)
+        assert np.allclose(s.mean(axis=0), marg, atol=0.06)
+        emp_pair = np.einsum("mi,mj->ij", np.asarray(s), np.asarray(s)) / s.shape[0]
+        assert np.allclose(emp_pair, pair, atol=0.08)
+
+    def test_beats_plain_gibbs_on_frustrated_problem(self, rng):
+        """On a bimodal (frustrated ferromagnet-pair) landscape with a high
+        barrier, PT's cold rung should track the exact marginals at least as
+        well as equal-budget one-way annealed Gibbs."""
+        from qbmx.samplers.gibbs import gibbs_sample
+        from qbmx.samplers.tempering import pt_sample
+
+        n = 8
+        # two cliques with strong internal ferromagnetic coupling and biases
+        # arranged to make two near-degenerate modes
+        Q = np.zeros((n, n), dtype="float32")
+        for i in range(4):
+            for j in range(i + 1, 4):
+                Q[i, j] = -3.0
+                Q[i + 4, j + 4] = -3.0
+        Q[np.arange(4), np.arange(4)] = 4.4
+        Q[np.arange(4, 8), np.arange(4, 8)] = 4.6
+        Q = jnp.asarray(Q)
+        _, _, marg, _ = exact_boltzmann(Q, beta=1.0)
+
+        s_pt = pt_sample(jax.random.key(1), Q, 512, num_sweeps=64, num_replicas=8)
+        s_gb = gibbs_sample(jax.random.key(1), Q, 512, num_warmup=64, beta=1.0)
+        err_pt = np.abs(np.asarray(s_pt.mean(axis=0)) - np.asarray(marg)).max()
+        err_gb = np.abs(np.asarray(s_gb.mean(axis=0)) - np.asarray(marg)).max()
+        assert err_pt < max(err_gb + 0.02, 0.1)
+
+    def test_batch_shape(self, rng):
+        from qbmx.samplers.tempering import pt_sample_batch
+
+        Qs = jnp.stack([random_qubo(rng, 5) for _ in range(3)])
+        out = pt_sample_batch(jax.random.key(2), Qs, 64, num_sweeps=8, num_replicas=4)
+        assert out.shape == (3, 64, 5)
