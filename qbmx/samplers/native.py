@@ -95,6 +95,18 @@ class NativeSASampler:
 
         seed_arr = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
         B, n = Q.shape[0], Q.shape[-1]
+
+        if not isinstance(jnp.asarray(Q), jax.core.Tracer) and not isinstance(
+            seed_arr, jax.core.Tracer
+        ):
+            # Eager path: concrete arrays → run directly on the host.  Needed
+            # on the axon TPU runtime, which does not support host callbacks
+            # (pure_callback raises UNIMPLEMENTED there).
+            out = sa_sample_batch_native(
+                int(seed_arr), np.asarray(Q), num_reads, self.num_sweeps
+            )
+            return jnp.asarray(out)
+
         out_shape = jax.ShapeDtypeStruct((B, num_reads, n), jnp.float32)
 
         def host_fn(seed_np, Q_np):

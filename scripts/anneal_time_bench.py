@@ -11,6 +11,11 @@ Usage: python scripts/anneal_time_bench.py [--reads 100] [--sweeps 1000]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import csv
 import time
@@ -21,7 +26,8 @@ import numpy as np
 
 
 def time_sampler(sampler, Q, reads, reps=3):
-    sampler.sample_batch(jax.random.key(0), Q, reads).sum().block_until_ready()
+    # scalar fetch: block_until_ready does not flush the axon tunnel
+    float(sampler.sample_batch(jax.random.key(0), Q, reads).sum())
     t0 = time.perf_counter()
     acc = jnp.float32(0)
     for i in range(reps):

@@ -9,6 +9,11 @@ Usage: python scripts/profile_trace.py [--out /tmp/qbmx_trace]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import jax

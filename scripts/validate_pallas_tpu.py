@@ -11,6 +11,11 @@ burst — plain block_until_ready does not flush the axon tunnel).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import jax
