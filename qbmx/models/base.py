@@ -36,3 +36,10 @@ class QBMModel(abc.ABC):
     def predict(self, data):
         preds, _ = self.predict_batch(np.asarray(data)[None])
         return int(preds[0])
+
+    def get_num_params(self):
+        """Total trainable parameter count (reference ``get_num_params``,
+        ``src/ClassificationRBM.py:297-307``)."""
+        import jax
+
+        return sum(int(np.prod(np.asarray(p).shape)) for p in jax.tree.leaves(self.params))

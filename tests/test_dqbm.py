@@ -233,3 +233,43 @@ class TestOneHotMulticlass:
         h = train_model(m, x, y, x, y, batch_size=30, learning_rate=0.4,
                         epochs=8, class_titles=["0", "1", "2"], verbose=False)
         assert max(h.acc_per_epoch) >= 0.8
+
+
+class TestEdgeCases:
+    def test_single_hidden_node(self):
+        """H=1 (the reference notes embedding bugs at one hidden node,
+        src/model/faster_dqbm.py:876) — must train without special-casing."""
+        rngl = np.random.default_rng(0)
+        m = DiscQBM(dim_input=4, n_hidden_nodes=1, seed=0, sample_count=64,
+                    sampler=GibbsSampler(num_warmup=8))
+        x = rngl.uniform(0, 1, (8, 4)).astype("float32")
+        y = rngl.integers(0, 2, 8).astype("float32")
+        err, nll = m.train_for_one_iteration(x, y, 0.2)
+        assert np.isfinite(nll)
+        assert m.predict(x[0]) in (0, 1)
+
+    def test_get_num_params(self):
+        m = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=8)
+        # w_vh (5,3) + w_vo (4,1) + w_oo (1,1) + b_h 3 + b_o 1 + w_hh (3,3)
+        assert m.get_num_params() == 15 + 4 + 1 + 3 + 1 + 9
+
+    def test_full_mnist_shapes_on_mesh(self):
+        """BASELINE config 'Multi-chip: replicated Gibbs/SA chains with ICI
+        allreduce of gradient stats, full MNIST': one sharded step at
+        784-dim full-MNIST shapes on the virtual 8-device mesh."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from qbmx.parallel.mesh import make_dqbm_sharded_step, make_mesh
+
+        mesh = make_mesh(dp=4, chains=2)
+        m = DiscQBM(dim_input=784, n_hidden_nodes=8, seed=0, sample_count=64,
+                    sampler=GibbsSampler(num_warmup=8))
+        step = make_dqbm_sharded_step(m, mesh)
+        rngl = np.random.default_rng(1)
+        x = jnp.asarray(rngl.uniform(0, 1, (64, 784)), dtype=jnp.float32)
+        y = jnp.asarray(rngl.integers(0, 2, 64), dtype=jnp.float32)
+        mask = jnp.ones((64,), dtype=jnp.float32)
+        new_params, nll, _ = step(m.params, x, y, mask, 0.1, jax.random.key(0))
+        assert np.isfinite(float(nll))
