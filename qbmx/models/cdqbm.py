@@ -307,7 +307,10 @@ class CDQBM(QBMModel):
         g_kernel = jnp.einsum("ukl,u->kl", active_patches, Econv, precision="highest")
 
         if self.hidden_bias_type == "shared":
-            g_b_conv = jnp.sum(E[: geo.n_pooled]).reshape(1)
+            # ∂E/∂b_shared = Σ over the conv units the bias actually touches
+            # (for probabilistic pooling that is ALL conv units, not the pool
+            # variables the reference sums — src/train/train.py:177)
+            g_b_conv = jnp.sum(Econv).reshape(1)
         elif self.hidden_bias_type == "none":
             g_b_conv = jnp.zeros_like(params.b_conv)
         else:  # per-unit

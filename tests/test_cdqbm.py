@@ -323,3 +323,55 @@ class TestPipelineAndViz:
 
         assert issubclass(CDQBM, QBMModel)
         assert issubclass(DiscQBM, QBMModel)
+
+
+class TestProbPoolingGradient:
+    def test_gradient_matches_autodiff_probabilistic(self):
+        """Same autodiff pin as the deterministic test, but with
+        probabilistic pooling: penalties, pool variables, conv-unit-marginal
+        kernel/bias gradients all in play."""
+        from qbmx.core.qubo import qubo_energies
+        from qbmx.samplers.api import ExactSampler
+        from qbmx.samplers.exact import enumerate_states
+
+        model = CDQBM(
+            image_shape=(4, 4), num_label_nodes=1, seed=3, kernel_size=3,
+            pooling_size=2, pooling_type="probabilistic",
+            sequential_layer_sizes=[2], hidden_bias_type="shared",
+            sample_count=16384, sampler=ExactSampler(),
+        )
+        geo = model.geo
+        assert geo.n_pool_vars == 1 and geo.n_hidden == 4 + 1 + 2
+        rngl = np.random.default_rng(0)
+        x = jnp.asarray(rngl.uniform(0, 1, (1, 4, 4)), dtype=jnp.float32)
+        y = jnp.asarray([1.0])
+
+        def true_nll(params):
+            Qc = model.clamped_qubo(params, x[0], y)
+            Qu = model.unclamped_qubo(params, x[0])
+            Ec = qubo_energies(Qc, enumerate_states(geo.n_hidden))
+            Eu = qubo_energies(Qu, enumerate_states(geo.n_total))
+            const = jnp.dot(params.b_o, y) / model.beta_eff
+            return -(jax.scipy.special.logsumexp(-Ec - const)
+                     - jax.scipy.special.logsumexp(-Eu))
+
+        p = model.params
+        kc, ku = jax.random.split(jax.random.key(0))
+        yv = jnp.asarray([[1.0]])
+        Qc = jax.vmap(lambda xi, yi: model.clamped_qubo(p, xi, yi))(x, yv)
+        Qu = jax.vmap(lambda xi: model.unclamped_qubo(p, xi))(x)
+        s_c = model.sampler.sample_batch(kc, Qc, 16384)
+        s_u = model.sampler.sample_batch(ku, Qu, 16384)
+        mc = jax.vmap(lambda s, xi, yi: model._moments(p, s, xi, yi))(s_c, x, yv)
+        mu = jax.vmap(lambda s, xi: model._moments(p, s, xi))(s_u, x)
+        diff = jax.tree.map(lambda a, b: (a - b)[0], mc, mu)
+        g_auto = jax.grad(true_nll)(p)
+        for name in ["kernel", "w_h2o", "b_o", "b_seq", "b_conv", "w_oo"]:
+            a = np.asarray(getattr(diff, name))
+            b = np.asarray(getattr(g_auto, name))
+            assert np.allclose(a, b, atol=0.06), (name, a, b)
+        # tuple-valued groups (sequential inter/intra-layer weights)
+        assert np.allclose(np.asarray(diff.w_seq[0]),
+                           np.asarray(g_auto.w_seq[0]), atol=0.06)
+        assert np.allclose(np.asarray(diff.w_seq_intra[0]),
+                           np.asarray(g_auto.w_seq_intra[0]), atol=0.06)
