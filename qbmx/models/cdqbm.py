@@ -446,7 +446,9 @@ class CDQBM(QBMModel):
             mask = jnp.ones((x.shape[0],), dtype=jnp.float32)
         self.key, k = jax.random.split(self.key)
         self.params, nll, err = self._step(self.params, x, y, mask, learning_rate, k)
-        return float(err), float(nll)
+        # device scalars: callers float() them lazily, so an epoch of batches
+        # costs one tunnel roundtrip instead of two per batch
+        return err, nll
 
     def predict_batch(self, X):
         x = jnp.asarray(X, dtype=jnp.float32)

@@ -25,8 +25,7 @@ def _run_epoch_batches(model, train_X, train_Y, batch_size, learning_rate, histo
                        save_folder, epoch):
     """Reference-style per-batch loop (used for mesh-sharded models and any
     model without a scanned-epoch path)."""
-    epoch_errors = 0.0
-    epoch_nll = 0.0
+    errs, nlls = [], []
     batchnum = 1
     for b in range(0, len(train_X), batch_size):
         x_batch = train_X[b : b + batch_size]
@@ -37,18 +36,25 @@ def _run_epoch_batches(model, train_X, train_Y, batch_size, learning_rate, histo
         try:
             err, nll = model.train_for_one_iteration(xp, yp, learning_rate, mask=mask)
         except Exception:
-            # crash insurance: checkpoint weights + history, then re-raise
+            # crash insurance: checkpoint weights + history (including the
+            # batches completed before the crash), then re-raise
             # (reference ``src/model/faster_dqbm.py:1128-1132``)
+            history.errors_per_batch.extend(float(e) for e in errs)
+            history.nll_per_batch.extend(float(v) for v in nlls)
             if save_folder:
                 model.save_weights(f"e{epoch}_b{batchnum}_crash", save_folder)
                 save_history(f"{save_folder}/", history)
             raise
-        epoch_errors += err
-        epoch_nll += nll
-        history.errors_per_batch.append(err)
-        history.nll_per_batch.append(nll)
+        # keep device scalars in flight; fetch once per epoch (the device
+        # tunnel charges a full roundtrip per scalar pulled)
+        errs.append(err)
+        nlls.append(nll)
         batchnum += 1
-    return epoch_errors, epoch_nll
+    errs = [float(e) for e in errs]
+    nlls = [float(v) for v in nlls]
+    history.errors_per_batch.extend(errs)
+    history.nll_per_batch.extend(nlls)
+    return float(np.sum(errs)), float(np.sum(nlls))
 
 
 def _pad_batch(x, y, batch_size):
