@@ -84,7 +84,7 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
         return (x[:600], y[:600]), (x[600:700], y[600:700]), (x[700:], y[700:])
     raise ValueError(
         f"Invalid dataset {data_set!r}. Options: mnist, breastmnist, "
-        "pneumoniamnist, fashionmnist, synthetic"
+        "pneumoniamnist, fashionmnist, cifar-10, synthetic"
     )
 
 
