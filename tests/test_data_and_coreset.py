@@ -191,3 +191,20 @@ class TestDatasetResolution:
         assert len(set(np.unique(sy))) == 2
         assert len(set(np.unique(ty))) == 2
         assert 0.2 < np.mean(sy) < 0.8  # both classes present in test
+
+    def test_cdqbm_full_checkpoint_roundtrip(self, tmp_path):
+        import jax
+        from qbmx.models.cdqbm import CDQBM
+        from qbmx.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        m = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                  pooling_type="probabilistic", sequential_layer_sizes=[3, 2],
+                  seed=2, sample_count=8)
+        save_checkpoint(tmp_path / "cd", m, epoch=7)
+        m2 = CDQBM(image_shape=(6, 6), kernel_size=3, pooling_size=2,
+                   pooling_type="probabilistic", sequential_layer_sizes=[3, 2],
+                   seed=9, sample_count=8)
+        _, epoch = load_checkpoint(tmp_path / "cd", m2)
+        assert epoch == 7
+        for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(m2.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
