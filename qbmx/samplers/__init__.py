@@ -7,6 +7,7 @@ from qbmx.samplers.exact import (
 )
 from qbmx.samplers.sa_jax import sa_sample, sa_sample_batch
 from qbmx.samplers.gibbs import gibbs_sample_batch
+from qbmx.samplers.tempering import pt_sample, pt_sample_batch
 
 __all__ = [
     "Sampler",
@@ -18,4 +19,6 @@ __all__ = [
     "sa_sample",
     "sa_sample_batch",
     "gibbs_sample_batch",
+    "pt_sample",
+    "pt_sample_batch",
 ]
