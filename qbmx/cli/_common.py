@@ -38,26 +38,29 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
 
 
-def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
+def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
+                 num_classes: int = 2):
     """Resolve a dataset by the reference CLI vocabulary
     (``qbm_main.py:33-49``): mnist / breastmnist / pneumoniamnist /
     fashionmnist / synthetic.  Returns (train, val, test) tuples of
-    (images NxHxW, labels N)."""
+    (images NxHxW, labels N).  ``num_classes`` selects the first N classes
+    for the class-filterable datasets (the reference hardcoded [0, 1])."""
+    classes = list(range(num_classes))
     if data_set == "mnist":
         # Reference tree ships only the t10k images (train blob missing);
         # split test 80/10/10 when train images are unavailable.
         try:
             train = loaders.get_mnist(
                 "train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
-                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+                classes=classes, samples_per_class=samples_per_class, seed=seed)
             test = loaders.get_mnist(
                 "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
-                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+                classes=classes, samples_per_class=samples_per_class, seed=seed)
             return train, (None, None), test
         except FileNotFoundError:
             x, y = loaders.get_mnist(
                 "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
-                classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+                classes=classes, samples_per_class=samples_per_class, seed=seed)
             # per-class subsampling concatenates classes in order — shuffle
             # before splitting or the tail split is single-class
             x, y = loaders.shuffle_images(x, y, seed)
@@ -69,18 +72,20 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None):
     if data_set == "fashionmnist":
         train = loaders.get_fashionmnist(
             "train-images-idx3-ubyte", "train-labels-idx1-ubyte",
-            classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            classes=classes, samples_per_class=samples_per_class, seed=seed)
         test = loaders.get_fashionmnist(
             "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte",
-            classes=[0, 1], samples_per_class=samples_per_class, seed=seed)
+            classes=classes, samples_per_class=samples_per_class, seed=seed)
         return train, (None, None), test
     if data_set == "cifar-10":
-        train = loaders.get_cifar10(classes=[3, 5], samples_per_class=samples_per_class or 200,
+        train = loaders.get_cifar10(classes=classes if num_classes != 2 else [3, 5],
+                                    samples_per_class=samples_per_class or 200,
                                     seed=seed, train=True)
-        test = loaders.get_cifar10(classes=[3, 5], samples_per_class=50, seed=seed, train=False)
+        test = loaders.get_cifar10(classes=classes if num_classes != 2 else [3, 5],
+                                   samples_per_class=50, seed=seed, train=False)
         return train, (None, None), test
     if data_set == "synthetic":
-        x, y = loaders.synthetic_images(800, seed=seed)
+        x, y = loaders.synthetic_images(800, num_classes=num_classes, seed=seed)
         return (x[:600], y[:600]), (x[600:700], y[600:700]), (x[700:], y[700:])
     raise ValueError(
         f"Invalid dataset {data_set!r}. Options: mnist, breastmnist, "

@@ -33,7 +33,7 @@ def main(
 
     print("Loading data...")
     (train_x, train_y), _, (test_x, test_y) = load_dataset(
-        data_set, seed=seed,
+        data_set, seed=seed, num_classes=num_classes,
         samples_per_class=samples_per_class if data_set in ("mnist", "fashionmnist") else None,
     )
     print("Data loaded")
@@ -83,7 +83,10 @@ def main(
     predictions, probs_all = qbm.predict_batch(test_x)
 
     acc, f1, precision, recall, _ = metrics.get_metrics(test_y, predictions, class_names)
-    if num_label_nodes == 1:
+    if num_classes == 2:
+        # binary AUC from the positive-class score, regardless of label
+        # encoding (label_binarize yields (n,1) for 2 classes and breaks
+        # multi_class='ovr')
         auc = roc_auc_score(test_y, probs_all[:, 1])
     else:
         from sklearn.preprocessing import label_binarize

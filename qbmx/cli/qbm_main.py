@@ -29,7 +29,8 @@ def main(
     print("Seed is", seed)
 
     print("Loading data...")
-    (train_X, train_y), (val_X, val_y), (test_X, test_y) = load_dataset(data_set, seed=seed)
+    (train_X, train_y), (val_X, val_y), (test_X, test_y) = load_dataset(
+        data_set, seed=seed, num_classes=num_classes)
     print("Data loaded")
 
     print("Preprocessing data...")

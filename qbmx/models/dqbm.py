@@ -313,7 +313,7 @@ class DiscQBM(QBMModel):
         return predict_probs
 
     def _build_epoch_scan(self):
-        inner = self._build_step()
+        inner = self._step  # reuse the already-jitted step (one compile)
 
         @jax.jit
         def epoch(params, xb, yb, maskb, lr, key):
@@ -339,7 +339,7 @@ class DiscQBM(QBMModel):
 
         if isinstance(self.sampler, SASampler):
             n = self.n_output_nodes + self.n_hidden_nodes
-            return not self.sampler._pallas_enabled(jnp.zeros((1, n, n)))
+            return not self.sampler._pallas_enabled(jnp.zeros((1, n, n)), self.sample_count)
         return True
 
     def train_epoch(self, x, y, batch_size, learning_rate):

@@ -120,12 +120,14 @@ def cd_stats(params: RBMParams, key, v0, y_onehot, k: int, v_init=None, y_init=N
     phk = _hidden_prob(params, vk, yk)
 
     def stats(v, y, ph):
+        # sufficient statistics in full f32 (default matmul precision
+        # truncates inputs to bf16 — CLAUDE.md invariant for moment math)
         return RBMParams(
-            weights=v.T @ ph / B,
+            weights=jnp.matmul(v.T, ph, precision="highest") / B,
             visible_bias=v.mean(axis=0),
             hidden_bias=ph.mean(axis=0),
             class_bias=y.mean(axis=0),
-            class_weights=y.T @ ph / B,
+            class_weights=jnp.matmul(y.T, ph, precision="highest") / B,
         )
 
     return stats(v0, y_onehot, ph0), stats(vk, yk, phk), (vk, yk)

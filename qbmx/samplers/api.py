@@ -110,8 +110,10 @@ class ExactSampler:
 
 def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
     s = solver.upper()
-    if s in ("SA", "SA-PALLAS"):
+    if s == "SA":
         return SASampler(num_sweeps=num_sweeps, use_pallas=kwargs.get("use_pallas"))
+    if s == "SA-PALLAS":
+        return SASampler(num_sweeps=num_sweeps, use_pallas=True)
     if s == "SA-JAX":
         return SASampler(num_sweeps=num_sweeps, use_pallas=False)
     if s == "SA-NATIVE":
@@ -119,7 +121,10 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
 
         return NativeSASampler(num_sweeps=num_sweeps)
     if s == "BMS":
-        return GibbsSampler(num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)))
+        return GibbsSampler(
+            num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)),
+            beta=kwargs.get("beta", 1.0),
+        )
     if s == "PT":
         return PTSampler(
             num_sweeps=kwargs.get("num_warmup", max(num_sweeps // 16, 16)),

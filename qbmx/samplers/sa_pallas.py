@@ -185,6 +185,8 @@ def sa_sample_batch_pallas(
     J_int = jnp.pad(J_int, ((0, 0), (0, N - P * stride), (0, N - P * stride)))
 
     beta_hot, beta_cold = default_beta_range(Q)  # (B,)
+    if num_sweeps == 1:
+        beta_hot = beta_cold  # match sa_jax: a single sweep runs cold
     pad_ones = jnp.ones((Bp - B,), dtype=jnp.float32)
     beta_hot = jnp.concatenate([beta_hot.astype(jnp.float32), pad_ones])
     beta_cold = jnp.concatenate([beta_cold.astype(jnp.float32), 2 * pad_ones])

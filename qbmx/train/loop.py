@@ -92,7 +92,7 @@ def train_model(
         Path(save_folder).mkdir(parents=True, exist_ok=True)
 
     n = len(train_X)
-    num_batches = max(n // batch_size, 1)
+    num_batches = max(-(-n // batch_size), 1)  # ceil: the ragged tail trains too
 
     use_scan = (
         hasattr(model, "train_epoch")

@@ -208,3 +208,51 @@ class TestDatasetResolution:
         assert epoch == 7
         for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(m2.params)):
             assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestReviewRegressions:
+    """Pins for the code-review findings (see commit message)."""
+
+    def test_cdqbm_one_hot_binary_auc_no_crash(self, tmp_path):
+        from qbmx.cli.cdqbm_main import main
+
+        acc, *_rest = main(
+            seed=1, solver="SA", sample_count=16, anneal=10, epochs=1,
+            batch_size=100, learning_rate=0.1, data_set="synthetic",
+            save=str(tmp_path) + "/", name="t", pooling_size=7,
+            pooling_type="deterministic", sequential_layer_sizes=(3,),
+            one_hot=True, num_classes=2,
+        )
+        assert 0.0 <= acc <= 1.0
+
+    def test_load_dataset_respects_num_classes(self):
+        from qbmx.cli._common import load_dataset
+
+        (tx, ty), _, _ = load_dataset("synthetic", seed=0, num_classes=3)
+        assert set(np.unique(ty)) == {0, 1, 2}
+
+    def test_sa_pallas_forced(self):
+        from qbmx.samplers.api import get_sampler
+
+        assert get_sampler("SA-PALLAS").use_pallas is True
+        assert get_sampler("SA-JAX").use_pallas is False
+        assert get_sampler("SA").use_pallas is None
+
+    def test_bms_beta_forwarded(self):
+        from qbmx.samplers.api import get_sampler
+
+        assert get_sampler("BMS", beta=2.5).beta == 2.5
+
+    def test_epoch_nll_normalized_by_ceil_batches(self):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import GibbsSampler
+        from qbmx.train.loop import train_model
+
+        m = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=16,
+                    sampler=GibbsSampler(num_warmup=4))
+        x = np.random.default_rng(0).uniform(0, 1, (10, 3)).astype("float32")
+        y = np.asarray([0, 1] * 5, dtype="float32")
+        h = train_model(m, x, y, batch_size=8, learning_rate=0.1, epochs=1,
+                        verbose=False)
+        # 2 batches ran; per-epoch nll must be the mean of both, not the sum
+        assert abs(h.nll_per_epoch[0] - np.mean(h.nll_per_batch)) < 1e-6
