@@ -229,13 +229,20 @@ class DiscQBM(QBMModel):
         use_one_hot_encoding: bool = False,
         sampler: Sampler | None = None,
         load_path: str = "",
+        use_linear_shortcut: bool = False,
     ):
+        """``use_linear_shortcut``: when the model is restricted, the clamped
+        QUBO is diagonal and its ground state is closed-form — skip sampling
+        that phase entirely (the reference's QPU path does this,
+        ``solve_linear_qubo``, ``src/model/faster_dqbm.py:41-54, 660-663``;
+        its SA path still sampled).  Off by default for SA-path parity."""
         self.dim_input = dim_input
         self.num_classes = num_classes
         self.n_hidden_nodes = n_hidden_nodes
         self.n_output_nodes = num_classes if use_one_hot_encoding else 1
         self.use_one_hot_encoding = use_one_hot_encoding
         self.restricted = restricted
+        self.use_linear_shortcut = use_linear_shortcut and restricted
         self.sample_count = sample_count
         self.anneal_steps = anneal_steps
         self.beta_eff = float(beta_eff)
@@ -265,6 +272,8 @@ class DiscQBM(QBMModel):
         restricted = self.restricted
         one_hot = self.use_one_hot_encoding
 
+        linear_shortcut = self.use_linear_shortcut
+
         @jax.jit
         def step(params: DQBMParams, x, y, mask, lr, key):
             y_vec = (
@@ -273,9 +282,19 @@ class DiscQBM(QBMModel):
                 else y.astype(jnp.float32)[:, None]
             )
             kc, ku = jax.random.split(key)
-            Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
             Qu = unclamped_qubo_batch(params, x, beta_eff)
-            s_c = sampler.sample_batch(kc, Qc, reads)
+            if linear_shortcut:
+                # restricted clamped QUBO is diagonal: ground state in closed
+                # form, replicated across reads like the reference's
+                # solve_linear_qubo (ties broken randomly)
+                Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
+                diag = jnp.diagonal(Qc, axis1=-2, axis2=-1)  # (B, H)
+                coin = jax.random.bernoulli(kc, 0.5, diag.shape).astype(jnp.float32)
+                gs = jnp.where(diag < 0, 1.0, jnp.where(diag > 0, 0.0, coin))
+                s_c = jnp.broadcast_to(gs[:, None, :], (gs.shape[0], reads, gs.shape[1]))
+            else:
+                Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
+                s_c = sampler.sample_batch(kc, Qc, reads)
             s_u = sampler.sample_batch(ku, Qu, reads)
 
             mc = clamped_moments(s_c, x, y_vec)

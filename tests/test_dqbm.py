@@ -273,3 +273,32 @@ class TestEdgeCases:
         mask = jnp.ones((64,), dtype=jnp.float32)
         new_params, nll, _ = step(m.params, x, y, mask, 0.1, jax.random.key(0))
         assert np.isfinite(float(nll))
+
+
+class TestLinearShortcut:
+    def test_shortcut_matches_sampled_ground_state(self):
+        """Restricted clamped phase: the analytic diagonal ground state must
+        match what cold SA converges to (reference solve_linear_qubo,
+        src/model/faster_dqbm.py:41-54)."""
+        rngl = np.random.default_rng(2)
+        x = rngl.uniform(0, 1, (6, 4)).astype("float32")
+        y = rngl.integers(0, 2, 6).astype("float32")
+        m1 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=64,
+                     restricted=True, use_linear_shortcut=True,
+                     sampler=GibbsSampler(num_warmup=8))
+        m2 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=64,
+                     restricted=True, use_linear_shortcut=False,
+                     sampler=GibbsSampler(num_warmup=8))
+        e1, n1 = m1.train_for_one_iteration(x, y, 0.2)
+        e2, n2 = m2.train_for_one_iteration(x, y, 0.2)
+        # unclamped phases share statistics; clamped analytic vs sampled must
+        # produce nearby updates (Gibbs at beta=1 is softer than the ground
+        # state, so compare loosely)
+        a = np.asarray(m1.params.b_h)
+        b = np.asarray(m2.params.b_h)
+        assert np.allclose(a, b, atol=0.25)
+
+    def test_shortcut_ignored_when_not_restricted(self):
+        m = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=8,
+                    restricted=False, use_linear_shortcut=True)
+        assert m.use_linear_shortcut is False
