@@ -54,28 +54,33 @@ def main():
     params = init_params(jax.random.key(0), xb.shape[-1], num_hidden, 2)
     key = jax.random.key(1)
 
-    # compile + warmup (scalar fetch: block_until_ready does not flush the
-    # axon device tunnel, so timing must pull a value to the host)
-    params, loss = epoch(params, key, xb, yb, 0.05)
-    float(loss)
+    # Device-resident multi-epoch loop: ONE dispatch + ONE scalar fetch per
+    # measurement.  The axon tunnel neither pipelines rapid dispatches nor
+    # flushes on block_until_ready, so any host-side loop measures RPC
+    # behavior, not the chip.
+    REPS = 200
 
-    def run_epochs(reps, base):
-        p, acc = params, jnp.float32(0)
-        for i in range(reps):
-            p, loss = epoch(p, jax.random.fold_in(key, base + i), xb, yb, 0.05)
-            acc = acc + loss
-        float(acc)  # one host fetch drains the whole queue
+    @jax.jit
+    def run_epochs(params, key):
+        def body(carry, k):
+            p, acc = carry
+            p, loss = epoch(p, k, xb, yb, 0.05)
+            return (p, acc + loss), None
 
-    # subtract the fixed RPC roundtrip by differencing 1-epoch vs K-epoch
-    # queued bursts (the tunnel charges ~tens of ms per host fetch)
-    reps = 100  # enough device work to dwarf RPC noise (~tens of ms)
+        (p, acc), _ = jax.lax.scan(
+            body, (params, jnp.float32(0)), jax.random.split(key, REPS)
+        )
+        return p, acc
+
+    _, acc = run_epochs(params, key)  # compile + warmup
+    float(acc)
     estimates = []
     for trial in range(3):
-        t0 = time.perf_counter(); run_epochs(1, 1000 * trial); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run_epochs(reps + 1, 1000 * trial + 500)
-        tk = time.perf_counter() - t0
-        estimates.append(max((tk - t1) / reps, 1e-9))
-    per_epoch = sorted(estimates)[1]  # median of 3
+        t0 = time.perf_counter()
+        _, acc = run_epochs(params, jax.random.fold_in(key, trial))
+        float(acc)
+        estimates.append((time.perf_counter() - t0) / REPS)
+    per_epoch = sorted(estimates)[1]
     imgs_per_sec = n / per_epoch
     print(
         json.dumps(
