@@ -74,9 +74,9 @@ def bench(shapes=((60, 6), (60, 41)), reads=100, sweeps=1000):
             run_many(fn, Q, 1, 50)
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            run_many(fn, Q, 11, 100)
-            t11 = time.perf_counter() - t0
-            line += f"  {name} {(t11 - t1) / 10 * 1000:.1f} ms/call"
+            run_many(fn, Q, 51, 100)
+            t51 = time.perf_counter() - t0
+            line += f"  {name} {(t51 - t1) / 50 * 1000:.1f} ms/call"
         print(line)
 
 
