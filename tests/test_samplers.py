@@ -245,3 +245,21 @@ class TestParallelTempering:
         Qs = jnp.stack([random_qubo(rng, 5) for _ in range(3)])
         out = pt_sample_batch(jax.random.key(2), Qs, 64, num_sweeps=8, num_replicas=4)
         assert out.shape == (3, 64, 5)
+
+
+class TestEdgeShapes:
+    def test_single_read(self, rng):
+        Q = random_qubo(rng, 4)
+        s = sa_sample(jax.random.key(0), Q, 1, 8)
+        assert s.shape == (1, 4)
+
+    def test_single_variable_qubo(self):
+        Q = jnp.asarray([[-3.0]])
+        s = sa_sample(jax.random.key(0), Q, 64, 32)
+        assert s.shape == (64, 1)
+        assert s.mean() > 0.9  # negative bias -> on
+
+    def test_batch_of_one(self, rng):
+        Q = random_qubo(rng, 5)[None]
+        out = sa_sample_batch(jax.random.key(1), Q, 16, 8)
+        assert out.shape == (1, 16, 5)
