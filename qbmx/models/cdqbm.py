@@ -367,8 +367,16 @@ class CDQBM(QBMModel):
         kc, ku = jax.random.split(key)
         Qc = jax.vmap(lambda xi, yi: self.clamped_qubo(params, xi, yi))(x_imgs, y_vec)
         Qu = jax.vmap(lambda xi: self.unclamped_qubo(params, xi))(x_imgs)
-        s_c = self.sampler.sample_batch(kc, Qc, self.sample_count)
-        s_u = self.sampler.sample_batch(ku, Qu, self.sample_count)
+        # fuse both phases into one sampler call (clamped QUBOs zero-padded
+        # by n_out variables; padding couples to nothing and is sliced off)
+        B = x_imgs.shape[0]
+        nh, nt = geo.n_hidden, geo.n_total
+        Qc_pad = jnp.zeros((B, nt, nt), Qc.dtype).at[:, :nh, :nh].set(Qc)
+        s_all = self.sampler.sample_batch(
+            ku, jnp.concatenate([Qc_pad, Qu], axis=0), self.sample_count
+        )
+        s_c = s_all[:B, :, :nh]
+        s_u = s_all[B:]
 
         mc = jax.vmap(lambda s, xi, yi: self._moments(params, s, xi, yi))(s_c, x_imgs, y_vec)
         mu = jax.vmap(lambda s, xi: self._moments(params, s, xi))(s_u, x_imgs)

@@ -283,6 +283,8 @@ class DiscQBM(QBMModel):
             )
             kc, ku = jax.random.split(key)
             Qu = unclamped_qubo_batch(params, x, beta_eff)
+            B = x.shape[0]
+            H = params.b_h.shape[0]
             if linear_shortcut:
                 # restricted clamped QUBO is diagonal: ground state in closed
                 # form, replicated across reads like the reference's
@@ -291,11 +293,23 @@ class DiscQBM(QBMModel):
                 diag = jnp.diagonal(Qc, axis1=-2, axis2=-1)  # (B, H)
                 coin = jax.random.bernoulli(kc, 0.5, diag.shape).astype(jnp.float32)
                 gs = jnp.where(diag < 0, 1.0, jnp.where(diag > 0, 0.0, coin))
-                s_c = jnp.broadcast_to(gs[:, None, :], (gs.shape[0], reads, gs.shape[1]))
+                s_c = jnp.broadcast_to(gs[:, None, :], (B, reads, H))
+                s_u = sampler.sample_batch(ku, Qu, reads)
             else:
+                # fuse both phases into ONE sampler invocation: the clamped
+                # H-var QUBOs are zero-padded to the unclamped size (padding
+                # variables couple to nothing — harmless, sliced off), so a
+                # single batch of 2B problems anneals together.  Halves
+                # kernel launches and shortens the sequential sweep chain
+                # (n_u steps instead of n_c + n_u).
                 Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
-                s_c = sampler.sample_batch(kc, Qc, reads)
-            s_u = sampler.sample_batch(ku, Qu, reads)
+                n_u = Qu.shape[-1]
+                Qc_pad = jnp.zeros((B, n_u, n_u), Qc.dtype).at[:, :H, :H].set(Qc)
+                s_all = sampler.sample_batch(
+                    ku, jnp.concatenate([Qc_pad, Qu], axis=0), reads
+                )
+                s_c = s_all[:B, :, :H]
+                s_u = s_all[B:]
 
             mc = clamped_moments(s_c, x, y_vec)
             mu = unclamped_moments(s_u, x, n_out)

@@ -72,8 +72,14 @@ def make_dqbm_sharded_step(model: "dqbm_mod.DiscQBM", mesh: Mesh):
         kc, ku = jax.random.split(key)
         Qc = dqbm_mod.clamped_qubo_batch(params, x, y_vec, beta_eff)
         Qu = dqbm_mod.unclamped_qubo_batch(params, x, beta_eff)
-        s_c = sampler.sample_batch(kc, Qc, reads_local)
-        s_u = sampler.sample_batch(ku, Qu, reads_local)
+        # one fused sampler call per step (clamped QUBOs zero-padded to the
+        # unclamped size; padding couples to nothing and is sliced off)
+        Bl, H = x.shape[0], params.b_h.shape[0]
+        n_u = Qu.shape[-1]
+        Qc_pad = jnp.zeros((Bl, n_u, n_u), Qc.dtype).at[:, :H, :H].set(Qc)
+        s_all = sampler.sample_batch(ku, jnp.concatenate([Qc_pad, Qu], axis=0), reads_local)
+        s_c = s_all[:Bl, :, :H]
+        s_u = s_all[Bl:]
 
         mc = dqbm_mod.clamped_moments(s_c, x, y_vec)
         mu = dqbm_mod.unclamped_moments(s_u, x, n_out)
@@ -129,8 +135,11 @@ def make_cdqbm_sharded_step(model: "cdqbm_mod.CDQBM", mesh: Mesh):
         kc, ku = jax.random.split(key)
         Qc = jax.vmap(lambda xi, yi: model.clamped_qubo(params, xi, yi))(x_imgs, y_vec)
         Qu = jax.vmap(lambda xi: model.unclamped_qubo(params, xi))(x_imgs)
-        s_c = sampler.sample_batch(kc, Qc, reads_local)
-        s_u = sampler.sample_batch(ku, Qu, reads_local)
+        Bl, nh, nt = x_imgs.shape[0], geo.n_hidden, geo.n_total
+        Qc_pad = jnp.zeros((Bl, nt, nt), Qc.dtype).at[:, :nh, :nh].set(Qc)
+        s_all = sampler.sample_batch(ku, jnp.concatenate([Qc_pad, Qu], axis=0), reads_local)
+        s_c = s_all[:Bl, :, :nh]
+        s_u = s_all[Bl:]
         mc = jax.vmap(lambda s, xi, yi: model._moments(params, s, xi, yi))(s_c, x_imgs, y_vec)
         mu = jax.vmap(lambda s, xi: model._moments(params, s, xi))(s_u, x_imgs)
         diff = jax.tree.map(lambda a, b: a - b, mc, mu)
