@@ -143,30 +143,39 @@ void qbmx_sa_default_beta_range(const float* Q, int n, double* hot, double* cold
 void qbmx_sa_sample_batch(const float* Q, int B, int n, int num_reads, int num_sweeps,
                           uint64_t seed, float* out) {
   const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-  for (int b = 0; b < B; ++b) {
-    std::vector<double> h, J;
-    split_qubo(Q + static_cast<size_t>(b) * n * n, n, h, J);
-    double hot, cold;
-    default_beta_range(h, J, n, &hot, &cold);
-    const double log_ratio = std::log(cold / hot);
-    float* out_b = out + static_cast<size_t>(b) * num_reads * n;
 
-    std::atomic<int> next_read{0};
-    auto worker = [&]() {
-      for (;;) {
-        int r = next_read.fetch_add(1);
-        if (r >= num_reads) break;
-        Xoshiro256 rng(seed ^ (static_cast<uint64_t>(b) << 32) ^ static_cast<uint64_t>(r));
-        anneal_chain(h, J, n, num_sweeps, hot, log_ratio, rng,
-                     out_b + static_cast<size_t>(r) * n);
-      }
-    };
-    const unsigned n_threads = std::min<unsigned>(hw, static_cast<unsigned>(num_reads));
-    std::vector<std::thread> threads;
-    threads.reserve(n_threads);
-    for (unsigned w = 0; w < n_threads; ++w) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
+  // per-problem couplings and schedules, prepared once
+  std::vector<std::vector<double>> hs(B), Js(B);
+  std::vector<double> hots(B), log_ratios(B);
+  for (int b = 0; b < B; ++b) {
+    split_qubo(Q + static_cast<size_t>(b) * n * n, n, hs[b], Js[b]);
+    double hot, cold;
+    default_beta_range(hs[b], Js[b], n, &hot, &cold);
+    if (num_sweeps == 1) hot = cold;  // match sa_jax/sa_pallas: one sweep runs cold
+    hots[b] = hot;
+    log_ratios[b] = std::log(cold / hot);
   }
+
+  // one flat work queue over all B*num_reads chains: every core stays busy
+  // and one thread pool serves the whole call
+  const long total = static_cast<long>(B) * num_reads;
+  std::atomic<long> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      long idx = next.fetch_add(1);
+      if (idx >= total) break;
+      const int b = static_cast<int>(idx / num_reads);
+      const int r = static_cast<int>(idx % num_reads);
+      Xoshiro256 rng(seed ^ (static_cast<uint64_t>(b) << 32) ^ static_cast<uint64_t>(r));
+      anneal_chain(hs[b], Js[b], n, num_sweeps, hots[b], log_ratios[b], rng,
+                   out + (static_cast<size_t>(b) * num_reads + r) * n);
+    }
+  };
+  const unsigned n_threads = std::min<unsigned>(hw, static_cast<unsigned>(total));
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (unsigned w = 0; w < n_threads; ++w) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -62,14 +62,14 @@ def main():
         )
         row = {"n": n}
         for solver in solvers:
-            s = get_sampler(solver, num_sweeps=args.sweeps)
+            # BMS defaults to sweeps//16 warmup passes; pin it to --sweeps so
+            # every column in the CSV/plot runs the same number of sweeps
+            s = get_sampler(solver, num_sweeps=args.sweeps, num_warmup=args.sweeps)
             row[solver] = round(time_sampler(s, Q, args.reads) * 1000, 2)
         rows.append(row)
         print(row)
 
-    import pathlib
-
-    pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["n"] + solvers)
         w.writeheader()

@@ -36,10 +36,12 @@ def main():
     x = rng.uniform(0, 1, (args.batch, 784)).astype("float32")
     y = rng.integers(0, 2, args.batch).astype("float32")
 
-    model.train_for_one_iteration(x, y, 0.1)  # compile outside the trace
+    _, nll = model.train_for_one_iteration(x, y, 0.1)  # compile outside the trace
+    float(nll)  # drain the queue before opening the trace window
     with jax.profiler.trace(args.out):
         for _ in range(3):
-            model.train_for_one_iteration(x, y, 0.1)
+            _, nll = model.train_for_one_iteration(x, y, 0.1)
+        float(nll)  # steps are async; force execution inside the window
     print(f"trace written to {args.out} (open with TensorBoard or xprof)")
 
 

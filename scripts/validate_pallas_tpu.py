@@ -34,18 +34,16 @@ def validate(B=60, n=6, reads=100, sweeps=1000):
         np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(B)]),
         dtype=jnp.float32,
     )
-    rp = sa_sample_batch_pallas(jax.random.key(7), Q, reads, sweeps)
-    rx = sa_sample_batch(jax.random.key(7), Q, reads, sweeps)
+    rp = np.asarray(sa_sample_batch_pallas(jax.random.key(7), Q, reads, sweeps))
+    rx = np.asarray(sa_sample_batch(jax.random.key(7), Q, reads, sweeps))
     ep, ex, dd = [], [], []
     for b in range(B):
         _, cold = default_beta_range(Q[b])
         _, _, marg, _ = exact_boltzmann(Q[b], beta=float(cold))
         m = np.asarray(marg)
-        ep.append(float(np.abs(np.asarray(rp[b].mean(axis=0)) - m).max()))
-        ex.append(float(np.abs(np.asarray(rx[b].mean(axis=0)) - m).max()))
-        dd.append(
-            float(np.abs(np.asarray(rp[b].mean(axis=0)) - np.asarray(rx[b].mean(axis=0))).max())
-        )
+        ep.append(float(np.abs(rp[b].mean(axis=0) - m).max()))
+        ex.append(float(np.abs(rx[b].mean(axis=0) - m).max()))
+        dd.append(float(np.abs(rp[b].mean(axis=0) - rx[b].mean(axis=0)).max()))
     print(f"pallas vs oracle: mean {np.mean(ep):.4f} max {np.max(ep):.3f}")
     print(f"xla    vs oracle: mean {np.mean(ex):.4f} max {np.max(ex):.3f}")
     print(f"pallas vs xla   : mean {np.mean(dd):.4f} max {np.max(dd):.3f}")
