@@ -65,11 +65,16 @@ def main(
     print("Predict on test data...")
     predictions, _ = dqbm.predict_batch(test_X)
 
-    acc, f1, precision, recall, auc = metrics.save_result(
-        save + name, dqbm, history, dqbm.weight_objects(), test_y, predictions,
-        ["0", "1"] if num_classes == 2 else [str(i) for i in range(num_classes)],
-        batch_size, epochs, solver, learning_rate, save=bool(save),
-    )
+    class_titles = ["0", "1"] if num_classes == 2 else [str(i) for i in range(num_classes)]
+    if save:
+        acc, f1, precision, recall, auc = metrics.save_result(
+            save + name, dqbm, history, dqbm.weight_objects(), test_y, predictions,
+            class_titles, batch_size, epochs, solver, learning_rate,
+        )
+    else:
+        acc, f1, precision, recall, auc = metrics.get_metrics(
+            test_y, predictions, class_titles
+        )
     print("Accuracy: ", acc)
     print("F1 Score: ", f1)
     print("Precision: ", precision)
