@@ -458,12 +458,18 @@ class CDQBM(QBMModel):
         # costs one tunnel roundtrip instead of two per batch
         return err, nll
 
-    def predict_batch(self, X):
+    def predict_batch(self, X, chunk: int = 32):
+        """Chunked batched prediction: one enormous sampling launch (e.g.
+        hundreds of 700-variable anneals) can exceed the TPU runtime's
+        kernel watchdog — bound each launch to ``chunk`` examples."""
         x = jnp.asarray(X, dtype=jnp.float32)
         if x.ndim == 2:
             x = x.reshape((-1,) + self.geo.image_shape)
-        self.key, k = jax.random.split(self.key)
-        probs = np.asarray(self._predict_probs(self.params, x, k))
+        outs = []
+        for i in range(0, x.shape[0], chunk):
+            self.key, k = jax.random.split(self.key)
+            outs.append(np.asarray(self._predict_probs(self.params, x[i : i + chunk], k)))
+        probs = np.concatenate(outs, axis=0)
         preds = np.argmax(probs, axis=1)
         return preds, probs
 
