@@ -367,12 +367,17 @@ class DiscQBM(QBMModel):
     def supports_epoch_scan(self) -> bool:
         """Whole-epoch scan is disabled when the sampler routes to the Pallas
         kernel: a pallas_call inside lax.scan hangs the remote AOT compiler
-        on the axon toolchain (empirically; plain jitted calls are fine)."""
+        on the axon toolchain (empirically; plain jitted calls are fine).
+        Also disabled for the native C++ sampler off-CPU: its pure_callback
+        fallback is UNIMPLEMENTED on the axon runtime (ADVICE r1)."""
         from qbmx.samplers.api import SASampler
+        from qbmx.samplers.native import NativeSASampler
 
         if isinstance(self.sampler, SASampler):
             n = self.n_output_nodes + self.n_hidden_nodes
             return not self.sampler._pallas_enabled(jnp.zeros((1, n, n)), self.sample_count)
+        if isinstance(self.sampler, NativeSASampler):
+            return jax.default_backend() == "cpu"
         return True
 
     def train_epoch(self, x, y, batch_size, learning_rate):

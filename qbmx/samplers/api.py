@@ -109,6 +109,11 @@ class ExactSampler:
 
 
 def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
+    """Solver-string registry.  ``num_sweeps`` means *sweeps per read* for
+    EVERY solver (the reference's ``anneal_steps`` knob): SA anneal sweeps,
+    BMS warmup sweeps, PT sweeps at the target temperature.  Passing the
+    legacy ``num_warmup`` kwarg still overrides the sweep count for BMS/PT
+    (deprecated alias, kept so round-1 call sites don't change meaning)."""
     s = solver.upper()
     if s == "SA":
         return SASampler(num_sweeps=num_sweeps, use_pallas=kwargs.get("use_pallas"))
@@ -119,15 +124,26 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
     if s == "SA-NATIVE":
         from qbmx.samplers.native import NativeSASampler
 
+        backend = jax.default_backend()
+        if backend != "cpu":
+            # The axon TPU runtime rejects host callbacks (pure_callback →
+            # UNIMPLEMENTED), so the native sampler cannot run inside jitted
+            # training steps on this backend.  Fail at construction with
+            # guidance instead of mid-epoch (ADVICE r1).
+            raise RuntimeError(
+                f'solver "SA-NATIVE" needs the CPU backend (active: {backend!r}); '
+                "run with QBMX_PLATFORM=cpu, or construct NativeSASampler "
+                "directly for eager host-side sampling."
+            )
         return NativeSASampler(num_sweeps=num_sweeps)
     if s == "BMS":
         return GibbsSampler(
-            num_warmup=kwargs.get("num_warmup", max(num_sweeps // 16, 16)),
+            num_warmup=kwargs.get("num_warmup", num_sweeps),
             beta=kwargs.get("beta", 1.0),
         )
     if s == "PT":
         return PTSampler(
-            num_sweeps=kwargs.get("num_warmup", max(num_sweeps // 16, 16)),
+            num_sweeps=kwargs.get("num_warmup", num_sweeps),
             num_replicas=kwargs.get("num_replicas", 8),
             beta_target=kwargs.get("beta", 1.0),
         )

@@ -56,11 +56,11 @@ def solve_linear_qubo(key: jax.Array, h: jax.Array, num_reads: int) -> jax.Array
     """Ground state of a linear (diagonal) QUBO, replicated ``num_reads`` times.
 
     Mirrors the reference semantics: s=1 for negative bias, s=0 for positive,
-    uniform random for exact zeros.  All reads are identical except at zero
-    biases (the reference draws one random value shared across reads; we draw
-    per-read, which only differs on the measure-zero h==0 case).
+    uniform random for exact zeros — ONE shared coin per variable, broadcast
+    across the reads, exactly like the reference's single random draw
+    (``src/model/faster_dqbm.py:41-54``) and like ``DiscQBM``'s restricted
+    clamped shortcut (``qbmx/models/dqbm.py`` linear_shortcut branch).
     """
-    coin = jax.random.bernoulli(key, 0.5, (num_reads,) + h.shape).astype(jnp.float32)
-    base = jnp.where(h < 0, 1.0, 0.0).astype(jnp.float32)
-    s = jnp.where(h == 0, coin, base[None, :] * jnp.ones((num_reads, 1)))
-    return s.astype(jnp.float32)
+    coin = jax.random.bernoulli(key, 0.5, h.shape).astype(jnp.float32)
+    base = jnp.where(h < 0, 1.0, jnp.where(h > 0, 0.0, coin)).astype(jnp.float32)
+    return jnp.broadcast_to(base[None], (num_reads,) + h.shape).astype(jnp.float32)

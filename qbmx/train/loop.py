@@ -156,7 +156,13 @@ def train_model(
 
 def get_best_combined_acc_auc(history: History):
     """Best-epoch summary (reference ``get_best_combined_acc_auc``,
-    ``src/model/faster_dqbm.py:1334-1339``)."""
+    ``src/model/faster_dqbm.py:1334-1339``).
+
+    Multiclass caveat: ``get_metrics`` pins AUC to 0.0 for >2 classes
+    (reference parity, ``src/metrics.py:190-202``), so the 0.5·acc + 0.5·auc
+    criterion degenerates to best-accuracy-halved selection on multiclass
+    runs — the chosen epoch is simply the best-accuracy epoch (ADVICE r1).
+    ``cdqbm_main`` computes a real macro-OVR AUC from probabilities instead."""
     best_epoch = int(np.argmax(history.combined_acc_auc_per_epoch))
     return (
         best_epoch,

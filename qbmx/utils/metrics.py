@@ -128,15 +128,15 @@ def save_result(
         beta_eff=getattr(model, "beta_eff", "-"),
     )
     file_path = str(file_path)
-    Path(file_path).parent.mkdir(parents=True, exist_ok=True)
     if save:
+        Path(file_path).parent.mkdir(parents=True, exist_ok=True)
         with open(file_path + ".pkl", "wb") as f:
             pickle.dump(trained_params, f)
         with open(file_path + "_result.txt", "w") as f:
             f.write(result_txt)
         save_history(file_path, history)
-    with open(file_path + "acc_auc.pkl", "wb") as f:
-        pickle.dump((acc, auc), f)
+        with open(file_path + "acc_auc.pkl", "wb") as f:
+            pickle.dump((acc, auc), f)
     if make_plots:
         from qbmx.utils import plots
 

@@ -243,6 +243,35 @@ class TestReviewRegressions:
 
         assert get_sampler("BMS", beta=2.5).beta == 2.5
 
+    def test_num_sweeps_means_sweeps_for_every_solver(self):
+        """VERDICT r1 #9: unified sweep semantics — ``num_sweeps`` is the
+        sweeps-per-read knob for SA, BMS, and PT alike; the legacy
+        ``num_warmup`` kwarg still overrides BMS/PT."""
+        from qbmx.samplers.api import get_sampler
+
+        assert get_sampler("SA", num_sweeps=500).num_sweeps == 500
+        assert get_sampler("BMS", num_sweeps=500).num_warmup == 500
+        assert get_sampler("PT", num_sweeps=500).num_sweeps == 500
+        # deprecated alias keeps working
+        assert get_sampler("BMS", num_sweeps=500, num_warmup=7).num_warmup == 7
+        assert get_sampler("PT", num_sweeps=500, num_warmup=7).num_sweeps == 7
+
+    def test_linear_solve_shares_tie_coin_across_reads(self):
+        """ADVICE r1: zero-bias ties draw ONE coin per variable, broadcast
+        across reads (the reference's shared draw, faster_dqbm.py:41-54)."""
+        import jax
+        import jax.numpy as jnp
+        from qbmx.samplers.exact import solve_linear_qubo
+
+        h = jnp.asarray([0.0, -1.0, 2.0, 0.0], dtype=jnp.float32)
+        s = solve_linear_qubo(jax.random.key(3), h, num_reads=64)
+        assert s.shape == (64, 4)
+        # deterministic entries
+        assert np.all(np.asarray(s[:, 1]) == 1.0) and np.all(np.asarray(s[:, 2]) == 0.0)
+        # tie coins identical across all reads
+        assert np.all(np.asarray(s[:, 0]) == np.asarray(s[0, 0]))
+        assert np.all(np.asarray(s[:, 3]) == np.asarray(s[0, 3]))
+
     def test_epoch_nll_normalized_by_ceil_batches(self):
         from qbmx.models.dqbm import DiscQBM
         from qbmx.samplers.api import GibbsSampler
