@@ -68,8 +68,8 @@ def pack_geometry(n: int) -> tuple[int, int, int]:
     return stride, P, N
 
 
-def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, out_ref, u_ref, *, n: int,
-               P: int, num_sweeps: int, use_mask: bool):
+def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, *rest, n: int,
+               P: int, num_sweeps: int, use_mask: bool, debug: bool = False):
     """One pack of P problems, interleaved layout.
 
     J_ref (1, N, N): couplings, row i*P+p = var i of problem p;
@@ -81,18 +81,31 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, out_ref, u_ref, *, n: int,
         flip — static full-tile ops only, ~0.15µs/step.
       * sliced (mid strides): contiguous P-row slices + (P,N)@(N,R)
         matmul — less compute per step, wins when the full tile is large.
+
+    ``debug=True`` (the CI path, VERDICT r1 #4): the init bits (1, N, R)
+    and the per-sweep uniforms (1, S, N, R) arrive as host-supplied inputs
+    instead of ``pltpu.prng_random_bits``, so the Metropolis update math
+    runs under ``interpret=True`` on CPU and is regression-locked against
+    ``sa_jax._metropolis_sweep`` given the same variates.
     """
+    if debug:
+        init_ref, u_all_ref, out_ref, u_ref = rest
+    else:
+        out_ref, u_ref = rest
     g = pl.program_id(0)
     N = out_ref.shape[1]
     R = out_ref.shape[2]
-    pltpu.prng_seed(seed_ref[0, 0] + g)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (N, R), 0)
     step_of_row = row // P  # which variable-step this row belongs to
 
     # random {0,1} init for variable rows; 1.0 on bias rows; 0 on padding
-    bits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
-    rand01 = pltpu.bitcast(bits & 1, jnp.int32).astype(jnp.float32)
+    if debug:
+        rand01 = init_ref[0]
+    else:
+        pltpu.prng_seed(seed_ref[0, 0] + g)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
+        rand01 = pltpu.bitcast(bits & 1, jnp.int32).astype(jnp.float32)
     out_ref[0] = jnp.where(step_of_row < n, rand01,
                            jnp.where(step_of_row == n, 1.0, 0.0))
 
@@ -108,8 +121,11 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, out_ref, u_ref, *, n: int,
         frac = t.astype(jnp.float32) * inv_span
         # one (N, R) block of uniforms serves the whole sweep: each row is
         # Metropolis-updated at exactly one step (its own variable index)
-        ubits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
-        u_ref[...] = pltpu.bitcast(ubits >> 8, jnp.int32).astype(jnp.float32) * inv24
+        if debug:
+            u_ref[...] = u_all_ref[0, t]
+        else:
+            ubits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
+            u_ref[...] = pltpu.bitcast(ubits >> 8, jnp.int32).astype(jnp.float32) * inv24
 
         if use_mask:
             beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
@@ -147,6 +163,21 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, out_ref, u_ref, *, n: int,
     jax.lax.fori_loop(0, num_sweeps, sweep_body, 0)
 
 
+def _interleave_rows(A, G, P, stride, N, R, fill):
+    """Problem-major (..., Bp, n, R0) → interleaved packed rows (..., G, N, R)
+    where row ``i*P + p`` of pack ``g`` is variable ``i`` of problem
+    ``g*P + p``.  Padding (extra vars/rows/reads) is filled with ``fill``."""
+    *lead, Bp, n_, R0 = A.shape
+    lead_pad = [(0, 0)] * len(lead)
+    A = jnp.pad(A, lead_pad + [(0, 0), (0, stride - n_), (0, R - R0)],
+                constant_values=fill)
+    A = A.reshape(*lead, G, P, stride, R)
+    A = jnp.moveaxis(A, -3, -2)  # (..., G, stride, P, R)
+    A = A.reshape(*lead, G, stride * P, R)
+    return jnp.pad(A, lead_pad + [(0, 0), (0, N - stride * P), (0, 0)],
+                   constant_values=fill)
+
+
 @partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "interpret"))
 def sa_sample_batch_pallas(
     key: jax.Array,
@@ -154,12 +185,19 @@ def sa_sample_batch_pallas(
     num_reads: int,
     num_sweeps: int,
     interpret: bool = False,
+    debug_randoms=None,
 ) -> jax.Array:
     """Batched SA on TPU via Pallas: ``Q`` (B, n, n) → (B, num_reads, n).
 
     Semantics match :func:`qbmx.samplers.sa_jax.sa_sample_batch` (validated
     against the exact oracle on hardware); only the execution strategy
     differs.
+
+    ``debug_randoms`` (CI path): a ``(init01, uniforms)`` pair of
+    host-supplied variates — ``init01`` (B, num_reads, n) in {0,1} and
+    ``uniforms`` (num_sweeps, B, n, num_reads) in [0,1) — replacing the
+    on-chip PRNG so the kernel runs under ``interpret=True`` on CPU and its
+    trajectories can be checked against ``sa_jax`` exactly.
     """
     B, n = Q.shape[0], Q.shape[-1]
     stride, P, N = pack_geometry(n)
@@ -199,21 +237,41 @@ def sa_sample_batch_pallas(
 
     seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
+    debug = debug_randoms is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1), shared
+        pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, N), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [seed, per_row(beta_hot), per_row(log_ratio), J_int]
+    if debug:
+        init01, uniforms = debug_randoms
+        init = jnp.swapaxes(init01.astype(jnp.float32), 1, 2)  # (B, n, reads)
+        init = jnp.pad(init, ((0, Bp - B), (0, 0), (0, 0)))
+        init_p = _interleave_rows(init, G, P, stride, N, R, fill=0.0)
+        u = jnp.pad(uniforms.astype(jnp.float32),
+                    ((0, 0), (0, Bp - B), (0, 0), (0, 0)), constant_values=1.0)
+        u_p = jnp.moveaxis(
+            _interleave_rows(u, G, P, stride, N, R, fill=1.0), 0, 1
+        )  # (G, S, N, R)
+        S = u_p.shape[1]
+        in_specs += [
+            pl.BlockSpec((1, N, R), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N, R), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [init_p, u_p]
+
     out = pl.pallas_call(
         partial(_sa_kernel, n=n, P=P, num_sweeps=num_sweeps,
-                use_mask=(stride <= 16)),
+                use_mask=(stride <= 16), debug=debug),
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1), shared
-            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, N, R), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, R), jnp.float32),
         scratch_shapes=[pltpu.VMEM((N, R), jnp.float32)],
         interpret=interpret,
-    )(seed, per_row(beta_hot), per_row(log_ratio), J_int)
+    )(*operands)
 
     # (G, N, R): row i*P+p -> (G, stride, P, R) -> problem-major (Bp, stride, R)
     out = out[:, : P * stride, :].reshape(G, stride, P, R)
