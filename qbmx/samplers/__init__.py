@@ -5,6 +5,7 @@ from qbmx.samplers.exact import (
     exact_sample,
     solve_linear_qubo,
 )
+from qbmx.samplers.qpu import QPUSampler
 from qbmx.samplers.sa_jax import sa_sample, sa_sample_batch
 from qbmx.samplers.gibbs import gibbs_sample_batch
 from qbmx.samplers.tempering import pt_sample, pt_sample_batch
@@ -16,6 +17,7 @@ __all__ = [
     "exact_boltzmann",
     "exact_sample",
     "solve_linear_qubo",
+    "QPUSampler",
     "sa_sample",
     "sa_sample_batch",
     "gibbs_sample_batch",

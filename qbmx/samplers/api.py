@@ -149,13 +149,20 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         )
     if s == "EXACT":
         return ExactSampler(beta=kwargs.get("beta", 1.0))
-    if s.startswith("ADVANTAGE") or s.startswith("DW_") or s == "FUJITSUDAU":
+    if s.startswith("ADVANTAGE") or s.startswith("DW_"):
+        # dimod-compatible adapter: works iff the Ocean SDK is installed,
+        # otherwise raises with guidance (still no hard dependency).
+        from qbmx.samplers.qpu import QPUSampler
+
+        return QPUSampler.from_ocean(solver, token=kwargs.get("token"))
+    if s == "FUJITSUDAU":
         raise NotImplementedError(
-            f"QPU solver {solver!r}: qbmx is annealer-free by design. Implement a "
-            "Sampler with .sample_batch to adapt external hardware (interface seam "
-            "kept per SURVEY.md §2a)."
+            f"QPU solver {solver!r}: qbmx is annealer-free by design. Pass any "
+            "dimod-style sampler to qbmx.samplers.qpu.QPUSampler to adapt "
+            "external hardware."
         )
     raise ValueError(
         f'Unknown solver {solver!r}. Valid: "SA", "SA-JAX", "SA-PALLAS", '
-        '"SA-NATIVE", "BMS", "PT", "EXACT".'
+        '"SA-NATIVE", "BMS", "PT", "EXACT", or a D-Wave solver name with '
+        "the Ocean SDK installed."
     )

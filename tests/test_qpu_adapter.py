@@ -1,0 +1,122 @@
+"""QPUSampler adapter tests with a fake dimod-style sampler.
+
+No Ocean SDK installed (nor wanted): the adapter is exercised through its
+duck-typed surface (``sample_qubo`` → sampleset with ``record.sample`` +
+``variables``), mirroring the reference's ``DWaveAdapter`` shape
+(``src/qubo/sampler.py:35-51``) and its connection-retry behavior
+(``src/model/faster_dqbm.py:361-369``).
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbmx.samplers.qpu import QPUSampler, _ordered_samples, _qubo_dict
+
+
+class FakeSampleSet:
+    def __init__(self, samples, variables, qpu_us=123.0):
+        self.record = types.SimpleNamespace(sample=np.asarray(samples))
+        self.variables = list(variables)
+        self.info = {"timing": {"qpu_access_time": qpu_us}}
+
+
+class FakeDimodSampler:
+    """Solves the QUBO exactly by enumeration — a stand-in 'QPU'."""
+
+    def __init__(self, shuffle_vars=False, fail_times=0):
+        self.shuffle_vars = shuffle_vars
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def sample_qubo(self, qdict, num_reads=1, **_):
+        self.calls += 1
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise ConnectionResetError("flaky network")
+        n = max(max(i, j) for i, j in qdict) + 1
+        Q = np.zeros((n, n))
+        for (i, j), v in qdict.items():
+            Q[i, j] += v
+        best, best_e = None, np.inf
+        for m in range(2**n):
+            s = np.array([(m >> k) & 1 for k in range(n)], dtype=float)
+            e = s @ np.triu(Q, 1) @ s + np.diag(Q) @ s
+            if e < best_e:
+                best, best_e = s, e
+        samples = np.tile(best, (num_reads, 1))
+        variables = list(range(n))
+        if self.shuffle_vars:  # permute reporting order like real samplesets can
+            perm = np.asarray([1, 0] + list(range(2, n)))
+            samples = samples[:, perm]
+            variables = [variables[p] for p in perm]
+        return FakeSampleSet(samples, variables)
+
+
+def test_qubo_dict_roundtrip():
+    Q = np.triu(np.arange(9, dtype=np.float32).reshape(3, 3))
+    d = _qubo_dict(Q)
+    assert d[(0, 1)] == 1.0 and d[(1, 2)] == 5.0 and d[(0, 0)] == 0.0
+    assert all(i <= j for i, j in d)
+
+
+def test_sample_batch_orders_variables_and_solves():
+    # ground state of diag([-1, 2, -3]) is [1, 0, 1]
+    Q = jnp.asarray(np.diag([-1.0, 2.0, -3.0]).astype(np.float32))[None]
+    for shuffle in (False, True):
+        adapter = QPUSampler(FakeDimodSampler(shuffle_vars=shuffle))
+        out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 5))
+        assert out.shape == (1, 5, 3)
+        np.testing.assert_array_equal(out[0, 0], [1.0, 0.0, 1.0])
+
+
+def test_connection_retry_with_refresh():
+    fresh = FakeDimodSampler()
+    adapter = QPUSampler(FakeDimodSampler(fail_times=1), refresh=lambda: fresh)
+    Q = jnp.asarray(np.diag([-1.0, 1.0]).astype(np.float32))[None]
+    out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 3))
+    np.testing.assert_array_equal(out[0, 0], [1.0, 0.0])
+    assert fresh.calls == 1  # the retry went through the refreshed sampler
+
+
+def test_connection_failure_twice_propagates():
+    adapter = QPUSampler(FakeDimodSampler(fail_times=2),
+                         refresh=lambda: FakeDimodSampler(fail_times=5))
+    Q = jnp.asarray(np.diag([-1.0]).astype(np.float32))[None]
+    with pytest.raises(ConnectionResetError):
+        adapter.sample_batch(jax.random.key(0), Q, 1)
+
+
+def test_qpu_time_accumulates():
+    adapter = QPUSampler(FakeDimodSampler())
+    Q = jnp.asarray(np.diag([-1.0, 1.0]).astype(np.float32))
+    adapter.sample_batch(jax.random.key(0), jnp.stack([Q, Q]), 2)
+    assert adapter.qpu_time_used == pytest.approx(246.0)
+
+
+def test_get_sampler_dwave_name_needs_ocean():
+    from qbmx.samplers.api import get_sampler
+
+    with pytest.raises(NotImplementedError, match="Ocean"):
+        get_sampler("Advantage_system4.1")
+
+
+def test_rejects_tracers():
+    adapter = QPUSampler(FakeDimodSampler())
+
+    def f(Q):
+        return adapter.sample_batch(jax.random.key(0), Q, 1)
+
+    with pytest.raises(RuntimeError, match="jit"):
+        jax.jit(f)(jnp.zeros((1, 2, 2)))
+
+
+def test_ordered_samples_handles_subset_order():
+    ss = FakeSampleSet([[1, 0, 1]], variables=[2, 0, 1])
+    out = _ordered_samples(ss, 3)
+    np.testing.assert_array_equal(out[0], [0.0, 1.0, 1.0])
