@@ -261,6 +261,7 @@ class DiscQBM(QBMModel):
         self._step = self._build_step()
         self._predict_probs = self._build_predict()
         self._epoch_scan = self._build_epoch_scan()
+        self._epoch_unrolled: dict[int, object] = {}  # cache by segment length
 
     # -- jitted computations -------------------------------------------------
 
@@ -362,6 +363,26 @@ class DiscQBM(QBMModel):
 
         return epoch
 
+    def _build_epoch_unrolled(self, nb: int):
+        """Whole-epoch launch for samplers that cannot live inside lax.scan
+        (the Pallas kernel hangs the axon AOT compiler there): the batch loop
+        is UNROLLED inside one jit, so an epoch still costs one dispatch
+        instead of ``nb`` tunnel roundtrips (VERDICT r1 #5).  Compile time
+        grows with ``nb``; the compiled epoch is cached per batch count."""
+        inner = self._step
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, key):
+            nlls, errs = [], []
+            for i in range(nb):  # static unroll
+                key, k = jax.random.split(key)
+                params, nll, err = inner(params, xb[i], yb[i], maskb[i], lr, k)
+                nlls.append(nll)
+                errs.append(err)
+            return params, jnp.stack(nlls), jnp.stack(errs)
+
+        return epoch
+
     # -- public API ----------------------------------------------------------
 
     def supports_epoch_scan(self) -> bool:
@@ -380,9 +401,26 @@ class DiscQBM(QBMModel):
             return jax.default_backend() == "cpu"
         return True
 
+    def supports_whole_epoch_jit(self) -> bool:
+        """Whether a whole epoch can run as (one or a few) jitted launches
+        at all.  Broader than :meth:`supports_epoch_scan`: Pallas-routed
+        samplers can't scan but CAN be unrolled; the native C++ sampler
+        off-CPU can't enter jit at all (host callbacks UNIMPLEMENTED)."""
+        from qbmx.samplers.native import NativeSASampler
+
+        if isinstance(self.sampler, NativeSASampler):
+            return jax.default_backend() == "cpu"
+        return True
+
+    # segment length for the unrolled-epoch fallback: bounds AOT compile
+    # time while still cutting tunnel roundtrips ~16x
+    EPOCH_UNROLL_SEGMENT = 16
+
     def train_epoch(self, x, y, batch_size, learning_rate):
-        """One epoch as a single device computation (lax.scan over batches) —
-        avoids the per-batch host roundtrips of the reference-style loop.
+        """One epoch as a single device computation — avoids the per-batch
+        host roundtrips of the reference-style loop.  Uses lax.scan over
+        batches when the sampler supports it, otherwise unrolled-segment
+        launches (Pallas kernels can't live inside scan on axon).
         The ragged tail batch is zero-padded and masked.  Returns per-batch
         (nll, err) arrays."""
         x = np.asarray(x, dtype="float32")
@@ -396,11 +434,30 @@ class DiscQBM(QBMModel):
         xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
         yb = jnp.asarray(yp.reshape(nb, batch_size))
         maskb = jnp.asarray(mask.reshape(nb, batch_size))
-        self.key, k = jax.random.split(self.key)
-        self.params, nlls, errs = self._epoch_scan(
-            self.params, xb, yb, maskb, learning_rate, k
+        if self.supports_epoch_scan():
+            self.key, k = jax.random.split(self.key)
+            self.params, nlls, errs = self._epoch_scan(
+                self.params, xb, yb, maskb, learning_rate, k
+            )
+            return np.asarray(nlls), np.asarray(errs)
+        # unrolled-segment fallback (Pallas sampler): ceil(nb/K) launches
+        K = self.EPOCH_UNROLL_SEGMENT
+        nlls_l, errs_l = [], []
+        for s in range(0, nb, K):
+            seg = min(K, nb - s)
+            if seg not in self._epoch_unrolled:
+                self._epoch_unrolled[seg] = self._build_epoch_unrolled(seg)
+            self.key, k = jax.random.split(self.key)
+            self.params, nl, er = self._epoch_unrolled[seg](
+                self.params, xb[s : s + seg], yb[s : s + seg],
+                maskb[s : s + seg], learning_rate, k,
+            )
+            nlls_l.append(nl)
+            errs_l.append(er)
+        return (
+            np.concatenate([np.asarray(v) for v in nlls_l]),
+            np.concatenate([np.asarray(v) for v in errs_l]),
         )
-        return np.asarray(nlls), np.asarray(errs)
 
     def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
         x = jnp.asarray(x_batch, dtype=jnp.float32)

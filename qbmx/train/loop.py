@@ -94,10 +94,19 @@ def train_model(
     n = len(train_X)
     num_batches = max(-(-n // batch_size), 1)  # ceil: the ragged tail trains too
 
+    # whole-epoch launches: lax.scan when the sampler allows it, unrolled
+    # segments otherwise (model.train_epoch picks); only the native sampler
+    # off-CPU must stay on the eager per-batch path
+    if hasattr(model, "supports_whole_epoch_jit"):
+        epoch_jit_ok = model.supports_whole_epoch_jit()
+    elif hasattr(model, "supports_epoch_scan"):
+        epoch_jit_ok = model.supports_epoch_scan()
+    else:
+        epoch_jit_ok = True
     use_scan = (
         hasattr(model, "train_epoch")
         and getattr(model, "mesh", None) is None
-        and (not hasattr(model, "supports_epoch_scan") or model.supports_epoch_scan())
+        and epoch_jit_ok
     )
 
     for epoch in range(1, epochs + 1):
