@@ -30,7 +30,7 @@ _DATA_ROOT_CANDIDATES = (
 
 
 def find_data_root() -> Path | None:
-    """Locate a dataset root containing mnist/ medmnist/ subdirs."""
+    """First existing dataset root (several may coexist — _resolve tries all)."""
     for cand in _DATA_ROOT_CANDIDATES:
         if cand and Path(cand).is_dir():
             return Path(cand)
@@ -38,12 +38,15 @@ def find_data_root() -> Path | None:
 
 
 def _resolve(path: str) -> str:
+    """Find a dataset file across EVERY candidate root (a partially
+    populated ./data must not shadow the reference tree's files)."""
     if Path(path).exists():
         return path
-    root = find_data_root()
-    if root is not None:
+    for cand in _DATA_ROOT_CANDIDATES:
+        if not cand or not Path(cand).is_dir():
+            continue
         for sub in ("", "mnist", "fashionmnist", "medmnist"):
-            p = root / sub / Path(path).name
+            p = Path(cand) / sub / Path(path).name
             if p.exists():
                 return str(p)
     raise FileNotFoundError(path)
