@@ -24,7 +24,8 @@ def main(
     num_classes=2, save="out/", name="run", pooling_size=4,
     pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
-    samples_per_class=50,
+    samples_per_class=50, pool_select="min", center_fmap=False,
+    signed_input=False,
 ):
     print("Start")
     random.seed(seed)
@@ -39,6 +40,11 @@ def main(
     print("Data loaded")
 
     train_x, train_y = loaders.shuffle_images(train_x, train_y, seed)
+
+    if signed_input:
+        # flag-gated extension (PARITY.md §4): remap inputs to {-1, +1}
+        train_x = np.asarray(train_x, dtype=np.float32) * 2.0 - 1.0
+        test_x = np.asarray(test_x, dtype=np.float32) * 2.0 - 1.0
 
     image_shape = np.asarray(train_x[0]).shape[:2]
     num_label_nodes = 1 if (num_classes == 2 and not one_hot) else int(num_classes)
@@ -59,6 +65,7 @@ def main(
         is_restricted=bool(restricted), hidden_bias_type=hidden_bias_type,
         solver=solver, anneal=anneal, sample_count=sample_count,
         beta_eff=beta_eff, num_classes=num_classes,
+        pool_select=pool_select, center_fmap=center_fmap,
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
@@ -140,6 +147,16 @@ def build_parser():
                         "hardcodes 1.0; raise it to soften saturated conv units)")
     p.add_argument("--samples_per_class", type=int, default=50,
                    help="per-class training subsample for mnist/fashionmnist")
+    p.add_argument("--pool_select", type=str, default="min",
+                   choices=["min", "max", "absmax"],
+                   help="deterministic-pooling unit choice; 'min' is reference "
+                        "parity, 'absmax' lifts the pooling ceiling "
+                        "(PARITY.md §4 exact study)")
+    p.add_argument("--center_fmap", type=str2bool, default=False,
+                   help="zero-mean the conv feature map per image (flag-gated "
+                        "extension)")
+    p.add_argument("--signed_input", type=str2bool, default=False,
+                   help="remap inputs to {-1,+1} before training")
     return p
 
 
@@ -159,4 +176,6 @@ if __name__ == "__main__":
         sequential_layer_sizes=flags.seq_sizes, kernel_size=flags.kernel_size,
         stride=flags.stride, coreset_budget=flags.coreset_budget,
         samples_per_class=flags.samples_per_class,
+        pool_select=flags.pool_select, center_fmap=flags.center_fmap,
+        signed_input=flags.signed_input,
     )

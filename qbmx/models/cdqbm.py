@@ -153,7 +153,19 @@ class CDQBM(QBMModel):
         sampler: Sampler | None = None,
         load_path: str = "",
         num_classes: int = 2,
+        pool_select: str = "min",
+        center_fmap: bool = False,
     ):
+        """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
+        by default = reference parity).  The exact-enumeration study
+        (``scripts/cdqbm_exact_study.py``, PARITY.md §4) shows the parity
+        architecture's deterministic argmin pooling on non-negative fmaps
+        selects a near-input-independent unit, capping separability;
+        ``pool_select="absmax"`` (strongest-|response| unit) and
+        ``center_fmap=True`` (zero-mean fmap per image) both restore it.
+        """
+        if pool_select not in ("min", "max", "absmax"):
+            raise ValueError(f"unknown pool_select {pool_select!r}")
         self.geo = StackGeometry(
             image_shape=tuple(image_shape),
             kernel_size=kernel_size,
@@ -173,6 +185,8 @@ class CDQBM(QBMModel):
         self.hidden_bias_type = hidden_bias_type
         self.sample_count = sample_count
         self.beta_eff = float(beta_eff)
+        self.pool_select = pool_select
+        self.center_fmap = bool(center_fmap)
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
 
@@ -199,9 +213,17 @@ class CDQBM(QBMModel):
         geo = self.geo
         patches = x_img.reshape(-1)[self.patch_idx]  # (num_conv, k, k)
         fmap_flat = jnp.einsum("ukl,kl->u", patches, params.kernel, precision="highest")
+        if self.center_fmap:
+            fmap_flat = fmap_flat - fmap_flat.mean()
         if geo.pooling_type == "deterministic" and geo.has_pooling:
             wf = fmap_flat[self.windows]  # (n_win, p*p)
-            amin = jnp.argmin(wf, axis=1)
+            if self.pool_select == "max":
+                score = -wf
+            elif self.pool_select == "absmax":
+                score = -jnp.abs(wf)
+            else:  # "min" — reference parity (src/model/layers.py:77-84)
+                score = wf
+            amin = jnp.argmin(score, axis=1)
             pooled_idx = self.windows[jnp.arange(self.windows.shape[0]), amin]
         else:
             pooled_idx = jnp.arange(geo.num_conv_units)

@@ -375,3 +375,54 @@ class TestProbPoolingGradient:
                            np.asarray(g_auto.w_seq[0]), atol=0.06)
         assert np.allclose(np.asarray(diff.w_seq_intra[0]),
                            np.asarray(g_auto.w_seq_intra[0]), atol=0.06)
+
+
+class TestPoolSelectFlags:
+    """Flag-gated pooling extensions (PARITY.md §4 exact study); defaults
+    stay reference-parity (tested against the actual reference builder in
+    test_ref_builder_parity.py)."""
+
+    def _model(self, **kw):
+        from qbmx.samplers.api import GibbsSampler
+
+        return CDQBM(
+            image_shape=(5, 5), num_label_nodes=1, seed=0, kernel_size=2,
+            pooling_size=2, pooling_type="deterministic",
+            hidden_bias_type="shared", sample_count=8,
+            sampler=GibbsSampler(num_warmup=2), **kw,
+        )
+
+    def test_pool_select_picks_expected_units(self):
+        m_min = self._model()
+        m_max = self._model(pool_select="max")
+        m_abs = self._model(pool_select="absmax")
+        x = jnp.asarray(np.linspace(0, 1, 25).reshape(5, 5), jnp.float32)
+        # force a kernel with known sign structure
+        import dataclasses as dc
+
+        for m in (m_min, m_max, m_abs):
+            m.params = dc.replace(m.params, kernel=jnp.asarray([[1.0, 0.0], [0.0, -2.0]]))
+        fmap, idx_min, _ = m_min._context(m_min.params, x)
+        _, idx_max, _ = m_max._context(m_max.params, x)
+        _, idx_abs, _ = m_abs._context(m_abs.params, x)
+        wf = np.asarray(fmap)[np.asarray(m_min.windows)]
+        np.testing.assert_array_equal(
+            np.asarray(idx_min), np.asarray(m_min.windows)[np.arange(4), wf.argmin(1)])
+        np.testing.assert_array_equal(
+            np.asarray(idx_max), np.asarray(m_min.windows)[np.arange(4), wf.argmax(1)])
+        np.testing.assert_array_equal(
+            np.asarray(idx_abs), np.asarray(m_min.windows)[np.arange(4), np.abs(wf).argmax(1)])
+
+    def test_center_fmap_zero_means(self):
+        m = self._model(center_fmap=True)
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 5)), jnp.float32)
+        fmap, _, _ = m._context(m.params, x)
+        assert abs(float(fmap.mean())) < 1e-6
+
+    def test_defaults_unchanged(self):
+        m = self._model()
+        assert m.pool_select == "min" and m.center_fmap is False
+
+    def test_invalid_pool_select_raises(self):
+        with pytest.raises(ValueError, match="pool_select"):
+            self._model(pool_select="median")
