@@ -422,18 +422,30 @@ class DiscQBM(QBMModel):
         batches when the sampler supports it, otherwise unrolled-segment
         launches (Pallas kernels can't live inside scan on axon).
         The ragged tail batch is zero-padded and masked.  Returns per-batch
-        (nll, err) arrays."""
-        x = np.asarray(x, dtype="float32")
-        y = np.asarray(y)
-        n = len(x)
-        nb = -(-n // batch_size)
-        pad = nb * batch_size - n
-        mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
-        xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
-        yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
-        xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
-        yb = jnp.asarray(yp.reshape(nb, batch_size))
-        maskb = jnp.asarray(mask.reshape(nb, batch_size))
+        (nll, err) arrays.
+
+        The padded+batched device arrays are cached across epochs (keyed on
+        the host arrays' identity + batch size): re-uploading the dataset
+        through the axon tunnel every epoch costs more than the epoch's
+        compute.  Callers must not mutate the arrays in place between
+        epochs (the train loop passes the same objects)."""
+        cache_key = (id(x), id(y), len(x), batch_size)
+        if getattr(self, "_epoch_data_key", None) == cache_key:
+            xb, yb, maskb, nb = self._epoch_data
+        else:
+            x = np.asarray(x, dtype="float32")
+            y = np.asarray(y)
+            n = len(x)
+            nb = -(-n // batch_size)
+            pad = nb * batch_size - n
+            mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+            xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+            yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
+            xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
+            yb = jnp.asarray(yp.reshape(nb, batch_size))
+            maskb = jnp.asarray(mask.reshape(nb, batch_size))
+            self._epoch_data_key = cache_key
+            self._epoch_data = (xb, yb, maskb, nb)
         if self.supports_epoch_scan():
             self.key, k = jax.random.split(self.key)
             self.params, nlls, errs = self._epoch_scan(
@@ -478,7 +490,15 @@ class DiscQBM(QBMModel):
         return int(preds[0])
 
     def predict_batch(self, X):
-        x = jnp.asarray(X, dtype=jnp.float32)
+        # cache the device copy of a repeatedly-evaluated set (per-epoch
+        # validation re-sends the same array otherwise)
+        key_id = (id(X), len(X))
+        if getattr(self, "_predict_data_key", None) == key_id:
+            x = self._predict_data
+        else:
+            x = jnp.asarray(X, dtype=jnp.float32)
+            self._predict_data_key = key_id
+            self._predict_data = x
         self.key, k = jax.random.split(self.key)
         marg, probs = self._predict_probs(self.params, x, k)
         marg = np.asarray(marg)

@@ -59,14 +59,16 @@ class SASampler:
         if platform not in ("tpu",):
             return False
         # Auto-route on a VMEM budget: couplings tile + state + per-sweep
-        # uniforms must fit comfortably (measured on v5e the kernel beats the
-        # XLA sampler 1.6-3.5x whenever it fits).
-        from qbmx.samplers.sa_pallas import pack_geometry
+        # uniforms of the CHOSEN pack geometry must fit (measured on v5e the
+        # kernel beats the XLA sampler 2-5x whenever it fits).
+        from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
 
-        stride, P, N = pack_geometry(int(Q.shape[-1]))
+        stride, P, N = pack_geometry(
+            int(Q.shape[-1]), batch=int(Q.shape[0]), reads=num_reads
+        )
         R = -(-num_reads // 128) * 128
         vmem = 4 * (N * N + 2 * N * R)
-        return vmem < 10 * 2**20
+        return vmem <= _VMEM_BUDGET
 
 
 @dataclasses.dataclass(frozen=True)

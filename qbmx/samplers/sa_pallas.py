@@ -49,38 +49,77 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_geometry(n: int) -> tuple[int, int, int]:
-    """(stride, P, N): per-problem variable slots, problems per block, padded
-    block size.  P is chosen so P*stride fills one 128-row tile when the
-    problem is small; stride is 8-aligned so row blocks stay tile-aligned."""
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
+# Routing constants, measured on v5e (min-of-2 30-call bursts, 1000 sweeps):
+# grid programs run SEQUENTIALLY on the core, so larger packs (bigger P →
+# fewer programs) win until the per-substep MXU work (P·N·R flops) makes the
+# matmuls throughput-bound.  26M was the measured knee: n=41 B=60 R=128 runs
+# 49.3→18.5 ms from P=8→64 (25M) while R=1024 prefers P=16 (12.6M; P=32 at
+# 50M regresses 61→80 ms); n=6 B=120 R=1024 prefers P=32 (8.4M; P=64 at 33M
+# regresses 7.6→9.9 ms); n=130 B=8 runs 111→21 ms from P=1→8.
+_MXU_WORK_BUDGET = 26_000_000
+_VMEM_BUDGET = 48 * 2**20
+
+
+def pack_geometry(n: int, batch: int | None = None,
+                  reads: int | None = None) -> tuple[int, int, int]:
+    """(stride, P, N): per-problem variable slots, problems per pack, padded
+    pack size.  P must be 1 or a multiple of 8 (Mosaic sublane alignment);
+    it is chosen from the measured routing rules above, capped at the
+    batch's next power of two (packing more than the batch pads dead
+    problems) and by VMEM."""
     stride = _round_up(n + 1, 8)  # +1 = always-one bias variable
-    # P>1 must be a multiple of 8: per-step row slices start at i*P and
-    # Mosaic needs statically 8-aligned sublane offsets. Large problems run
-    # one per block (P=1, unaligned single-row slices take a slower path but
-    # still beat the XLA sampler ~1.6x at n=717 on v5e).
-    if stride <= 16:
-        P = 128 // stride  # 16 or 8
-    elif stride <= 128:
-        P = 8
-    else:
-        P = 1
-    N = _round_up(stride * P, 128)
-    return stride, P, N
+    B = 64 if batch is None else max(int(batch), 1)
+    Rr = _round_up(reads if reads else 128, 128)
+    if stride <= 16 and Rr <= 128:
+        P = 128 // stride  # one row tile; the masked strategy handles it
+        return stride, P, _round_up(stride * P, 128)
+    P_best, N_best = 1, _round_up(stride, 128)
+    for P in (8, 16, 32, 64, 128):
+        if P > _pow2_ceil(B):
+            break
+        N = _round_up(stride * P, 128)
+        if P * N * Rr > _MXU_WORK_BUDGET:
+            break
+        if 4 * (N * N + 2 * N * Rr) > _VMEM_BUDGET:
+            break
+        P_best, N_best = P, N
+    return stride, P_best, N_best
 
 
-def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, *rest, n: int,
+def block_vars(P: int) -> int:
+    """Variables fused per block-sweep step (K).  K*P must be 8-aligned for
+    Mosaic sublane slicing; K is capped so the statically-unrolled inner
+    loop stays small."""
+    if P % 8 == 0:
+        return max(1, min(16, 128 // P))
+    return 16  # P == 1: BS = 16 rows, 8-aligned
+
+
+def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                P: int, num_sweeps: int, use_mask: bool, debug: bool = False):
     """One pack of P problems, interleaved layout.
 
     J_ref (1, N, N): couplings, row i*P+p = var i of problem p;
+    Jd_ref (1, nb, BS, BS): per-block diagonal sub-blocks of J (the
+    within-block couplings the block-sweep corrections need — Mosaic
+    forbids dynamic lane slicing of J itself);
     hot/logr (1, N, 1): per-row schedule params; out (1, N, R) state;
     u_ref (N, R) scratch for per-sweep uniforms.
 
     Two per-step strategies (chosen statically, measured on v5e):
-      * use_mask (small strides, N=128): full (N,N)@(N,R) matmul + masked
-        flip — static full-tile ops only, ~0.15µs/step.
-      * sliced (mid strides): contiguous P-row slices + (P,N)@(N,R)
-        matmul — less compute per step, wins when the full tile is large.
+      * use_mask (small strides AND one lane tile of chains): full
+        (N,N)@(N,R) matmul + masked flip — static full-tile ops only.
+      * block-sweep (everything else): K = BS/P variables fuse into ONE
+        (BS,N)@(N,R) field matmul; the K Metropolis sub-steps then run
+        statically unrolled, each correcting the remaining in-block fields
+        with a small (BS,P)@(P,R) rank-update from the accepted flips
+        (J is symmetric; only the diagonal BS×BS block is ever needed).
+        ~K× fewer sequential MXU ops than one matmul per variable
+        (VERDICT r1 #6: 2.3× at the n=41 CDQBM shape, see PERFORMANCE.md).
 
     ``debug=True`` (the CI path, VERDICT r1 #4): the init bits (1, N, R)
     and the per-sweep uniforms (1, S, N, R) arrive as host-supplied inputs
@@ -112,6 +151,10 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, *rest, n: int,
     inv_span = jnp.float32(1.0 / max(num_sweeps - 1, 1))
     inv24 = jnp.float32(1.0 / 16777216.0)
 
+    K = block_vars(P)
+    BS = K * P
+    nb_full, rem = divmod(n, K)
+
     if use_mask:
         J = J_ref[0]  # (N, N) cached for the whole anneal
         hot = hot_ref[0]  # (N, 1)
@@ -139,26 +182,37 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, *rest, n: int,
                 out_ref[0] = jnp.where(flip, 1.0 - s, s)
                 return carry
 
-        else:
+            return jax.lax.fori_loop(0, n, var_body, carry)
 
-            def var_body(i, carry):
-                # alignment promise only when honest: P=1 rows are unaligned
-                r0 = pl.multiple_of(i * P, 8) if P % 8 == 0 else i * P
-                Jb = J_ref[0, pl.ds(r0, P), :]  # (P, N)
-                s = out_ref[0]  # (N, R)
-                field = jnp.dot(Jb, s, preferred_element_type=jnp.float32)  # (P, R)
-                s_blk = out_ref[0, pl.ds(r0, P), :]  # (P, R)
-                delta = (1.0 - 2.0 * s_blk) * field
-                beta = hot_ref[0, pl.ds(r0, P), :] * jnp.exp(
-                    logr_ref[0, pl.ds(r0, P), :] * frac
-                )  # (P, 1)
-                accept = u_ref[pl.ds(r0, P), :] < jnp.exp(
-                    -beta * jnp.maximum(delta, 0.0)
-                )
-                out_ref[0, pl.ds(r0, P), :] = jnp.where(accept, 1.0 - s_blk, s_blk)
-                return carry
+        def do_block(b, r0, k_here):
+            """One block of ``k_here`` fused variable sub-steps starting at
+            row ``r0`` (8-aligned).  b indexes Jd_ref."""
+            aligned = pl.multiple_of(r0, 8) if BS % 8 == 0 else r0
+            Jb = J_ref[0, pl.ds(aligned, BS), :]  # (BS, N)
+            F = jnp.dot(Jb, out_ref[0], preferred_element_type=jnp.float32)
+            Jd = Jd_ref[0, b]  # (BS, BS) within-block couplings
+            for j in range(k_here):  # static unroll
+                rj = r0 + j * P
+                rows = pl.ds(pl.multiple_of(rj, 8) if P % 8 == 0 else rj, P)
+                s_blk = out_ref[0, rows, :]  # (P, R)
+                delta = (1.0 - 2.0 * s_blk) * F[j * P : (j + 1) * P, :]
+                beta = hot_ref[0, rows, :] * jnp.exp(logr_ref[0, rows, :] * frac)
+                accept = u_ref[rows, :] < jnp.exp(-beta * jnp.maximum(delta, 0.0))
+                ds = jnp.where(accept, 1.0 - 2.0 * s_blk, 0.0)  # flip = ±1
+                out_ref[0, rows, :] = s_blk + ds
+                if j < k_here - 1:
+                    # correct remaining in-block fields: F += J[:, cols_j] @ ds
+                    F = F + jnp.dot(Jd[:, j * P : (j + 1) * P], ds,
+                                    preferred_element_type=jnp.float32)
 
-        return jax.lax.fori_loop(0, n, var_body, carry)
+        def block_body(b, carry):
+            do_block(b, b * BS, K)
+            return carry
+
+        carry = jax.lax.fori_loop(0, nb_full, block_body, carry)
+        if rem:
+            do_block(nb_full, nb_full * BS, rem)  # static tail block
+        return carry
 
     jax.lax.fori_loop(0, num_sweeps, sweep_body, 0)
 
@@ -200,7 +254,7 @@ def sa_sample_batch_pallas(
     trajectories can be checked against ``sa_jax`` exactly.
     """
     B, n = Q.shape[0], Q.shape[-1]
-    stride, P, N = pack_geometry(n)
+    stride, P, N = pack_geometry(n, batch=B, reads=num_reads)
     R = _round_up(num_reads, 128)
     G = -(-B // P)  # number of packs
     Bp = G * P
@@ -262,9 +316,30 @@ def sa_sample_batch_pallas(
         ]
         operands += [init_p, u_p]
 
+    # Strategy choice (measured on v5e): the masked full-tile update wins on
+    # small strides ONLY while the chain block is one lane tile — its
+    # (N,N)@(N,R) per-step matmul scales with R, the block-sweep path's
+    # is ~flat (mask 8.2ms vs 10.7ms at R=128, but 320ms vs 10.7ms at
+    # R=1024; B=120, n=6, 1000 sweeps).
+    use_mask = stride <= 16 and R <= 128
+
+    # per-block diagonal sub-blocks of J for the block-sweep corrections
+    # (Mosaic can't dynamically lane-slice J in-kernel)
+    K = block_vars(P)
+    BS = K * P
+    nb = -(-n // K)
+    assert nb * BS <= N, (n, P, K, BS, nb, N)  # blocks stay inside the tile
+    Jd = jnp.stack(
+        [J_int[:, b * BS : (b + 1) * BS, b * BS : (b + 1) * BS] for b in range(nb)],
+        axis=1,
+    )  # (G, nb, BS, BS)
+    in_specs.insert(4, pl.BlockSpec((1, nb, BS, BS), lambda g: (g, 0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+    operands.insert(4, Jd)
+
     out = pl.pallas_call(
         partial(_sa_kernel, n=n, P=P, num_sweeps=num_sweeps,
-                use_mask=(stride <= 16), debug=debug),
+                use_mask=use_mask, debug=debug),
         grid=(G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, N, R), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),

@@ -58,9 +58,10 @@ def _random_problem(rng, B, n, reads, sweeps):
     [
         (5, 3, 16, 8),    # use_mask strategy (stride 8 ≤ 16), P=16
         (14, 2, 8, 6),    # use_mask, stride 16, P=8
-        (20, 2, 8, 6),    # sliced strategy, P=8
-        (41, 1, 4, 4),    # sliced, the real CDQBM shape class
-        (130, 1, 4, 2),   # sliced, P=1 (large problem)
+        (20, 2, 8, 6),    # block-sweep, P=1 (batch cap)
+        (20, 8, 8, 6),    # block-sweep, P=8 (aligned packs)
+        (41, 1, 4, 4),    # block-sweep, the real CDQBM shape class
+        (130, 1, 4, 2),   # block-sweep, P=1 (large problem)
         (6, 2, 8, 1),     # single sweep runs cold (edge)
     ],
 )
@@ -79,11 +80,12 @@ def test_kernel_trajectories_match_sa_jax(n, B, reads, sweeps):
 
 def test_pack_geometry_strategies():
     """Pin the strategy routing the parametrization above relies on."""
-    assert pack_geometry(5) == (8, 16, 128)
-    assert pack_geometry(14)[0] == 16 and pack_geometry(14)[1] == 8
-    stride20, P20, _ = pack_geometry(20)
-    assert stride20 == 24 and P20 == 8
-    assert pack_geometry(130)[1] == 1
+    assert pack_geometry(5, batch=3, reads=16) == (8, 16, 128)    # mask
+    assert pack_geometry(14, batch=2, reads=8)[1] == 8            # mask
+    assert pack_geometry(20, batch=2, reads=8)[1] == 1            # block P=1
+    assert pack_geometry(20, batch=8, reads=8)[1] == 8            # block P=8
+    assert pack_geometry(41, batch=1, reads=4)[1] == 1
+    assert pack_geometry(130, batch=1, reads=4)[1] == 1
 
 
 def test_debug_and_prng_paths_share_math():

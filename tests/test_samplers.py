@@ -185,25 +185,34 @@ class TestPallasRouting:
     marginal gap vs the XLA sampler 0.008 over 60 random 6-var problems."""
 
     def test_pack_geometry(self):
+        """Measured routing rules (sa_pallas routing constants): P grows
+        with the batch until the per-substep MXU work knee (~26M flops) or
+        VMEM; P is capped at the batch's next power of two."""
         from qbmx.samplers.sa_pallas import pack_geometry
 
         assert pack_geometry(5) == (8, 16, 128)   # 16 flat-QBM problems/tile
-        assert pack_geometry(41) == (48, 8, 384)
-        assert pack_geometry(717) == (720, 1, 768)
+        # the n=41 CDQBM shape: R=128 packs 64 problems, R=1024 backs off
+        assert pack_geometry(41, batch=60, reads=100) == (48, 64, 3072)
+        assert pack_geometry(41, batch=60, reads=1000) == (48, 16, 768)
+        # small stride at many reads leaves the mask path, packs 32
+        assert pack_geometry(6, batch=120, reads=1000)[1] == 32
+        # batch cap: 8 problems never pack more than 8 per tile
+        assert pack_geometry(130, batch=8, reads=100)[1] == 8
+        # single problem → P=1
+        assert pack_geometry(300, batch=1)[1] == 1
 
     def test_vmem_budget_routing(self):
-        """Auto-routing is a VMEM budget: packed small problems and P=1
-        large problems both run on Pallas while couplings+state+uniforms
-        fit; beyond that the XLA sampler takes over."""
-        from qbmx.samplers.sa_pallas import pack_geometry
+        """Auto-routing: the chosen geometry's couplings+state+uniforms must
+        fit the VMEM budget; beyond that the XLA sampler takes over."""
+        from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
 
         assert pack_geometry(6)[1] >= 8      # packed
-        assert pack_geometry(300)[1] == 1    # single-problem blocks
-        for n, reads, fits in [(6, 128, True), (717, 128, True), (2000, 128, False)]:
-            stride, P, N = pack_geometry(n)
+        for n, batch, reads, fits in [(6, 60, 128, True), (717, 8, 128, True),
+                                      (4000, 8, 128, False)]:
+            stride, P, N = pack_geometry(n, batch=batch, reads=reads)
             R = -(-reads // 128) * 128
             vmem = 4 * (N * N + 2 * N * R)
-            assert (vmem < 10 * 2**20) == fits, n
+            assert (vmem <= _VMEM_BUDGET) == fits, n
 
 
 class TestParallelTempering:
