@@ -43,3 +43,153 @@ class QBMModel(abc.ABC):
         import jax
 
         return sum(int(np.prod(np.asarray(p).shape)) for p in jax.tree.leaves(self.params))
+
+
+class EpochLaunchMixin:
+    """Whole-epoch device launches for models with a jitted ``_step``.
+
+    An epoch dispatches as ONE computation (lax.scan over batches) when the
+    sampler tolerates scan, or as unrolled segments of
+    ``EPOCH_UNROLL_SEGMENT`` jitted steps otherwise (a pallas_call inside
+    lax.scan hangs the axon AOT compiler — CLAUDE.md).  Either way the
+    per-batch tunnel roundtrips of the reference-style loop disappear, and
+    the padded+batched dataset stays resident on device across epochs
+    (re-uploading it each epoch costs more than the epoch's compute).
+
+    Requirements on the host class: ``_step(params, x, y, mask, lr, key)``
+    jitted, ``params``, ``key``, ``sampler``, ``sample_count``, and
+    ``_qubo_n()`` (unclamped QUBO side, for the Pallas routing check).
+    """
+
+    EPOCH_UNROLL_SEGMENT = 16
+
+    def _qubo_n(self) -> int:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def _prepare_inputs(self, x: np.ndarray) -> np.ndarray:
+        """Hook: reshape host inputs to the step's expected layout."""
+        return x
+
+    def supports_epoch_scan(self) -> bool:
+        """lax.scan over batches is safe unless the sampler routes to the
+        Pallas kernel (axon AOT hang) or to the native C++ sampler off-CPU
+        (host callbacks UNIMPLEMENTED)."""
+        import jax
+        import jax.numpy as jnp
+
+        from qbmx.samplers.api import SASampler
+        from qbmx.samplers.native import NativeSASampler
+
+        if isinstance(self.sampler, SASampler):
+            n = self._qubo_n()
+            return not self.sampler._pallas_enabled(
+                jnp.zeros((1, n, n)), self.sample_count
+            )
+        if isinstance(self.sampler, NativeSASampler):
+            return jax.default_backend() == "cpu"
+        return True
+
+    def supports_whole_epoch_jit(self) -> bool:
+        """Broader than scan support: Pallas samplers can be unrolled; only
+        the native sampler off-CPU must stay on the eager per-batch path."""
+        import jax
+
+        from qbmx.samplers.native import NativeSASampler
+
+        if isinstance(self.sampler, NativeSASampler):
+            return jax.default_backend() == "cpu"
+        return True
+
+    def _build_epoch_scan(self):
+        import jax
+        import jax.numpy as jnp  # noqa: F401
+
+        inner = self._step
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, key):
+            def body(carry, xs):
+                params, key = carry
+                key, k = jax.random.split(key)
+                x, y, m = xs
+                params, nll, err = inner(params, x, y, m, lr, k)
+                return (params, key), (nll, err)
+
+            (params, key), (nlls, errs) = jax.lax.scan(body, (params, key), (xb, yb, maskb))
+            return params, nlls, errs
+
+        return epoch
+
+    def _build_epoch_unrolled(self, nb: int):
+        import jax
+        import jax.numpy as jnp
+
+        inner = self._step
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, key):
+            nlls, errs = [], []
+            for i in range(nb):  # static unroll
+                key, k = jax.random.split(key)
+                params, nll, err = inner(params, xb[i], yb[i], maskb[i], lr, k)
+                nlls.append(nll)
+                errs.append(err)
+            return params, jnp.stack(nlls), jnp.stack(errs)
+
+        return epoch
+
+    def train_epoch(self, x, y, batch_size, learning_rate):
+        """One epoch of whole-batch device launches; the ragged tail batch
+        is zero-padded and masked.  Returns per-batch (nll, err) arrays.
+        Callers must not mutate ``x``/``y`` in place between epochs (the
+        device copy is cached by array identity)."""
+        import jax
+        import jax.numpy as jnp
+
+        cache_key = (id(x), id(y), len(x), batch_size)
+        if getattr(self, "_epoch_data_key", None) == cache_key:
+            xb, yb, maskb, nb = self._epoch_data
+        else:
+            x = self._prepare_inputs(np.asarray(x, dtype="float32"))
+            y = np.asarray(y)
+            n = len(x)
+            nb = -(-n // batch_size)
+            pad = nb * batch_size - n
+            mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+            xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+            yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
+            xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
+            yb = jnp.asarray(yp.reshape(nb, batch_size))
+            maskb = jnp.asarray(mask.reshape(nb, batch_size))
+            self._epoch_data_key = cache_key
+            self._epoch_data = (xb, yb, maskb, nb)
+
+        if self.supports_epoch_scan():
+            if not hasattr(self, "_epoch_scan_fn"):
+                self._epoch_scan_fn = self._build_epoch_scan()
+            self.key, k = jax.random.split(self.key)
+            self.params, nlls, errs = self._epoch_scan_fn(
+                self.params, xb, yb, maskb, learning_rate, k
+            )
+            return np.asarray(nlls), np.asarray(errs)
+
+        # unrolled-segment fallback (Pallas sampler): ceil(nb/K) launches
+        if not hasattr(self, "_epoch_unrolled"):
+            self._epoch_unrolled = {}
+        K = self.EPOCH_UNROLL_SEGMENT
+        nlls_l, errs_l = [], []
+        for s in range(0, nb, K):
+            seg = min(K, nb - s)
+            if seg not in self._epoch_unrolled:
+                self._epoch_unrolled[seg] = self._build_epoch_unrolled(seg)
+            self.key, k = jax.random.split(self.key)
+            self.params, nl, er = self._epoch_unrolled[seg](
+                self.params, xb[s : s + seg], yb[s : s + seg],
+                maskb[s : s + seg], learning_rate, k,
+            )
+            nlls_l.append(nl)
+            errs_l.append(er)
+        return (
+            np.concatenate([np.asarray(v) for v in nlls_l]),
+            np.concatenate([np.asarray(v) for v in errs_l]),
+        )

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.models.base import QBMModel
+from qbmx.models.base import EpochLaunchMixin, QBMModel
 from qbmx.models.geometry import StackGeometry, patch_index_grid
 from qbmx.samplers.api import Sampler, get_sampler
 
@@ -130,9 +130,10 @@ def build_penalty_matrix(geo: StackGeometry, penalty: float = PROB_POOL_PENALTY)
 # ---------------------------------------------------------------------------
 
 
-class CDQBM(QBMModel):
+class CDQBM(EpochLaunchMixin, QBMModel):
     """Stateful model holding static geometry + parameter pytree, with the
-    reference API surface (train via qbmx.train.loop, predict, save/load)."""
+    reference API surface (train via qbmx.train.loop, predict, save/load).
+    Whole-epoch device launches come from EpochLaunchMixin."""
 
     def __init__(
         self,
@@ -467,6 +468,14 @@ class CDQBM(QBMModel):
         s = self.sampler.sample_batch(key, Qc, reads)
         return np.asarray(s[0])
 
+    def _qubo_n(self) -> int:
+        return self.geo.n_total
+
+    def _prepare_inputs(self, x: np.ndarray) -> np.ndarray:
+        if x.ndim == 2:  # flattened input
+            return x.reshape((-1,) + self.geo.image_shape)
+        return x
+
     def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
         x = jnp.asarray(x_batch, dtype=jnp.float32)
         if x.ndim == 2:  # flattened input
@@ -483,10 +492,18 @@ class CDQBM(QBMModel):
     def predict_batch(self, X, chunk: int = 32):
         """Chunked batched prediction: one enormous sampling launch (e.g.
         hundreds of 700-variable anneals) can exceed the TPU runtime's
-        kernel watchdog — bound each launch to ``chunk`` examples."""
-        x = jnp.asarray(X, dtype=jnp.float32)
-        if x.ndim == 2:
-            x = x.reshape((-1,) + self.geo.image_shape)
+        kernel watchdog — bound each launch to ``chunk`` examples.  The
+        device copy is cached by array identity (per-epoch validation
+        re-sends the same array otherwise)."""
+        key_id = (id(X), len(X))
+        if getattr(self, "_predict_data_key", None) == key_id:
+            x = self._predict_data
+        else:
+            x = jnp.asarray(X, dtype=jnp.float32)
+            if x.ndim == 2:
+                x = x.reshape((-1,) + self.geo.image_shape)
+            self._predict_data_key = key_id
+            self._predict_data = x
         outs = []
         for i in range(0, x.shape[0], chunk):
             self.key, k = jax.random.split(self.key)

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.models.base import QBMModel
+from qbmx.models.base import EpochLaunchMixin, QBMModel
 from qbmx.samplers.api import Sampler, get_sampler
 
 Pytree = Any
@@ -210,7 +210,7 @@ def nll_from_probs(probs: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
-class DiscQBM(QBMModel):
+class DiscQBM(EpochLaunchMixin, QBMModel):
     """Stateful wrapper with the reference's API surface
     (train_model / predict / save_weights / load_savepoint) around the
     functional core above."""
@@ -260,8 +260,6 @@ class DiscQBM(QBMModel):
 
         self._step = self._build_step()
         self._predict_probs = self._build_predict()
-        self._epoch_scan = self._build_epoch_scan()
-        self._epoch_unrolled: dict[int, object] = {}  # cache by segment length
 
     # -- jitted computations -------------------------------------------------
 
@@ -346,130 +344,10 @@ class DiscQBM(QBMModel):
 
         return predict_probs
 
-    def _build_epoch_scan(self):
-        inner = self._step  # reuse the already-jitted step (one compile)
-
-        @jax.jit
-        def epoch(params, xb, yb, maskb, lr, key):
-            def body(carry, xs):
-                params, key = carry
-                key, k = jax.random.split(key)
-                x, y, m = xs
-                params, nll, err = inner(params, x, y, m, lr, k)
-                return (params, key), (nll, err)
-
-            (params, key), (nlls, errs) = jax.lax.scan(body, (params, key), (xb, yb, maskb))
-            return params, nlls, errs
-
-        return epoch
-
-    def _build_epoch_unrolled(self, nb: int):
-        """Whole-epoch launch for samplers that cannot live inside lax.scan
-        (the Pallas kernel hangs the axon AOT compiler there): the batch loop
-        is UNROLLED inside one jit, so an epoch still costs one dispatch
-        instead of ``nb`` tunnel roundtrips (VERDICT r1 #5).  Compile time
-        grows with ``nb``; the compiled epoch is cached per batch count."""
-        inner = self._step
-
-        @jax.jit
-        def epoch(params, xb, yb, maskb, lr, key):
-            nlls, errs = [], []
-            for i in range(nb):  # static unroll
-                key, k = jax.random.split(key)
-                params, nll, err = inner(params, xb[i], yb[i], maskb[i], lr, k)
-                nlls.append(nll)
-                errs.append(err)
-            return params, jnp.stack(nlls), jnp.stack(errs)
-
-        return epoch
-
-    # -- public API ----------------------------------------------------------
-
-    def supports_epoch_scan(self) -> bool:
-        """Whole-epoch scan is disabled when the sampler routes to the Pallas
-        kernel: a pallas_call inside lax.scan hangs the remote AOT compiler
-        on the axon toolchain (empirically; plain jitted calls are fine).
-        Also disabled for the native C++ sampler off-CPU: its pure_callback
-        fallback is UNIMPLEMENTED on the axon runtime (ADVICE r1)."""
-        from qbmx.samplers.api import SASampler
-        from qbmx.samplers.native import NativeSASampler
-
-        if isinstance(self.sampler, SASampler):
-            n = self.n_output_nodes + self.n_hidden_nodes
-            return not self.sampler._pallas_enabled(jnp.zeros((1, n, n)), self.sample_count)
-        if isinstance(self.sampler, NativeSASampler):
-            return jax.default_backend() == "cpu"
-        return True
-
-    def supports_whole_epoch_jit(self) -> bool:
-        """Whether a whole epoch can run as (one or a few) jitted launches
-        at all.  Broader than :meth:`supports_epoch_scan`: Pallas-routed
-        samplers can't scan but CAN be unrolled; the native C++ sampler
-        off-CPU can't enter jit at all (host callbacks UNIMPLEMENTED)."""
-        from qbmx.samplers.native import NativeSASampler
-
-        if isinstance(self.sampler, NativeSASampler):
-            return jax.default_backend() == "cpu"
-        return True
-
-    # segment length for the unrolled-epoch fallback: bounds AOT compile
-    # time while still cutting tunnel roundtrips ~16x
-    EPOCH_UNROLL_SEGMENT = 16
-
-    def train_epoch(self, x, y, batch_size, learning_rate):
-        """One epoch as a single device computation — avoids the per-batch
-        host roundtrips of the reference-style loop.  Uses lax.scan over
-        batches when the sampler supports it, otherwise unrolled-segment
-        launches (Pallas kernels can't live inside scan on axon).
-        The ragged tail batch is zero-padded and masked.  Returns per-batch
-        (nll, err) arrays.
-
-        The padded+batched device arrays are cached across epochs (keyed on
-        the host arrays' identity + batch size): re-uploading the dataset
-        through the axon tunnel every epoch costs more than the epoch's
-        compute.  Callers must not mutate the arrays in place between
-        epochs (the train loop passes the same objects)."""
-        cache_key = (id(x), id(y), len(x), batch_size)
-        if getattr(self, "_epoch_data_key", None) == cache_key:
-            xb, yb, maskb, nb = self._epoch_data
-        else:
-            x = np.asarray(x, dtype="float32")
-            y = np.asarray(y)
-            n = len(x)
-            nb = -(-n // batch_size)
-            pad = nb * batch_size - n
-            mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
-            xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
-            yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
-            xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
-            yb = jnp.asarray(yp.reshape(nb, batch_size))
-            maskb = jnp.asarray(mask.reshape(nb, batch_size))
-            self._epoch_data_key = cache_key
-            self._epoch_data = (xb, yb, maskb, nb)
-        if self.supports_epoch_scan():
-            self.key, k = jax.random.split(self.key)
-            self.params, nlls, errs = self._epoch_scan(
-                self.params, xb, yb, maskb, learning_rate, k
-            )
-            return np.asarray(nlls), np.asarray(errs)
-        # unrolled-segment fallback (Pallas sampler): ceil(nb/K) launches
-        K = self.EPOCH_UNROLL_SEGMENT
-        nlls_l, errs_l = [], []
-        for s in range(0, nb, K):
-            seg = min(K, nb - s)
-            if seg not in self._epoch_unrolled:
-                self._epoch_unrolled[seg] = self._build_epoch_unrolled(seg)
-            self.key, k = jax.random.split(self.key)
-            self.params, nl, er = self._epoch_unrolled[seg](
-                self.params, xb[s : s + seg], yb[s : s + seg],
-                maskb[s : s + seg], learning_rate, k,
-            )
-            nlls_l.append(nl)
-            errs_l.append(er)
-        return (
-            np.concatenate([np.asarray(v) for v in nlls_l]),
-            np.concatenate([np.asarray(v) for v in errs_l]),
-        )
+    # epoch-launch machinery (scan / unrolled segments / device-data cache)
+    # comes from EpochLaunchMixin; only the QUBO side length is ours
+    def _qubo_n(self) -> int:
+        return self.n_output_nodes + self.n_hidden_nodes
 
     def train_for_one_iteration(self, x_batch, y_batch, learning_rate, mask=None):
         x = jnp.asarray(x_batch, dtype=jnp.float32)

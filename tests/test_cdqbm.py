@@ -426,3 +426,55 @@ class TestPoolSelectFlags:
     def test_invalid_pool_select_raises(self):
         with pytest.raises(ValueError, match="pool_select"):
             self._model(pool_select="median")
+
+
+class TestCDQBMEpochLaunch:
+    """CDQBM gains whole-epoch device launches via EpochLaunchMixin."""
+
+    def _model(self):
+        from qbmx.samplers.api import SASampler
+
+        return CDQBM(
+            image_shape=(5, 5), num_label_nodes=1, seed=2, kernel_size=2,
+            pooling_size=2, sequential_layer_sizes=[2], hidden_bias_type="shared",
+            sample_count=16, sampler=SASampler(num_sweeps=8, use_pallas=False),
+        )
+
+    def test_train_epoch_scan_runs_and_learns(self):
+        m = self._model()
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (11, 5, 5)).astype("float32")
+        y = (rng.uniform(size=11) < 0.5).astype("float32")
+        assert m.supports_epoch_scan()
+        nlls, errs = m.train_epoch(x, y, batch_size=4, learning_rate=0.05)
+        assert nlls.shape == (3,) and np.all(np.isfinite(nlls))
+        # cached device batches reused on the second epoch
+        key0 = m._epoch_data_key
+        m.train_epoch(x, y, batch_size=4, learning_rate=0.05)
+        assert m._epoch_data_key == key0
+
+    def test_train_epoch_accepts_flat_inputs(self):
+        m = self._model()
+        rng = np.random.default_rng(1)
+        x = rng.uniform(0, 1, (8, 25)).astype("float32")  # flattened
+        y = (rng.uniform(size=8) < 0.5).astype("float32")
+        nlls, _ = m.train_epoch(x, y, batch_size=4, learning_rate=0.05)
+        assert nlls.shape == (2,)
+
+    def test_loop_takes_epoch_path_for_cdqbm(self, monkeypatch):
+        from qbmx.train.loop import train_model
+
+        m = self._model()
+        calls = {"n": 0}
+        orig = CDQBM.train_epoch
+
+        def spy(self, *a, **k):
+            calls["n"] += 1
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(CDQBM, "train_epoch", spy)
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (8, 5, 5)).astype("float32")
+        y = (rng.uniform(size=8) < 0.5).astype("float32")
+        train_model(m, x, y, batch_size=4, learning_rate=0.05, epochs=2, verbose=False)
+        assert calls["n"] == 2
