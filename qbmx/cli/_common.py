@@ -51,15 +51,15 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
         # split test 80/10/10 when train images are unavailable.
         try:
             train = loaders.get_mnist(
-                "train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
+                "mnist/train-images-idx3-ubyte.gz", "mnist/train-labels-idx1-ubyte.gz",
                 classes=classes, samples_per_class=samples_per_class, seed=seed)
             test = loaders.get_mnist(
-                "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
+                "mnist/t10k-images-idx3-ubyte.gz", "mnist/t10k-labels-idx1-ubyte.gz",
                 classes=classes, samples_per_class=samples_per_class, seed=seed)
             return train, (None, None), test
         except FileNotFoundError:
             x, y = loaders.get_mnist(
-                "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz",
+                "mnist/t10k-images-idx3-ubyte.gz", "mnist/t10k-labels-idx1-ubyte.gz",
                 classes=classes, samples_per_class=samples_per_class, seed=seed)
             # per-class subsampling concatenates classes in order — shuffle
             # before splitting or the tail split is single-class
@@ -68,13 +68,14 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
             a, b = int(0.8 * n), int(0.9 * n)
             return (x[:a], y[:a]), (x[a:b], y[a:b]), (x[b:], y[b:])
     if data_set in ("breastmnist", "pneumoniamnist"):
-        return loaders.get_medmnist(f"{data_set}.npz", seed=seed)
+        return loaders.get_medmnist(f"medmnist/{data_set}.npz", seed=seed)
     if data_set == "fashionmnist":
+        # subdir-hinted paths: MNIST and FashionMNIST share bare filenames
         train = loaders.get_fashionmnist(
-            "train-images-idx3-ubyte", "train-labels-idx1-ubyte",
+            "fashionmnist/train-images-idx3-ubyte", "fashionmnist/train-labels-idx1-ubyte",
             classes=classes, samples_per_class=samples_per_class, seed=seed)
         test = loaders.get_fashionmnist(
-            "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte",
+            "fashionmnist/t10k-images-idx3-ubyte", "fashionmnist/t10k-labels-idx1-ubyte",
             classes=classes, samples_per_class=samples_per_class, seed=seed)
         return train, (None, None), test
     if data_set == "cifar-10":

@@ -37,16 +37,27 @@ def find_data_root() -> Path | None:
     return None
 
 
+_KNOWN_SUBDIRS = ("mnist", "fashionmnist", "medmnist")
+
+
 def _resolve(path: str) -> str:
     """Find a dataset file across EVERY candidate root (a partially
-    populated ./data must not shadow the reference tree's files)."""
+    populated ./data must not shadow the reference tree's files).
+
+    When the requested path names one of the dataset subdirs (e.g.
+    ``fashionmnist/train-images-idx3-ubyte``) ONLY that subdir is searched
+    — MNIST and FashionMNIST share bare filenames, and resolving across
+    datasets would silently train on the wrong images."""
     if Path(path).exists():
         return path
+    rel = Path(path)
+    hint = rel.parent.name if rel.parent.name in _KNOWN_SUBDIRS else None
     for cand in _DATA_ROOT_CANDIDATES:
         if not cand or not Path(cand).is_dir():
             continue
-        for sub in ("", "mnist", "fashionmnist", "medmnist"):
-            p = Path(cand) / sub / Path(path).name
+        subs = (hint,) if hint else ("",) + _KNOWN_SUBDIRS
+        for sub in subs:
+            p = Path(cand) / sub / rel.name
             if p.exists():
                 return str(p)
     raise FileNotFoundError(path)

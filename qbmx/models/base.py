@@ -70,35 +70,59 @@ class EpochLaunchMixin:
         """Hook: reshape host inputs to the step's expected layout."""
         return x
 
-    def supports_epoch_scan(self) -> bool:
-        """lax.scan over batches is safe unless the sampler routes to the
-        Pallas kernel (axon AOT hang) or to the native C++ sampler off-CPU
-        (host callbacks UNIMPLEMENTED)."""
-        import jax
+    # -- device-copy caches ----------------------------------------------
+    # Keyed by WEAK references to the original host objects: id() alone can
+    # be recycled by a new same-length array after the old one is freed,
+    # silently serving stale device data.  A dead referent fails the
+    # identity check, so recycled ids can never hit.
+
+    def _cache_lookup(self, attr: str, objs: tuple, extra):
+        entry = getattr(self, attr, None)
+        if entry is None:
+            return None
+        refs, stored_extra, value = entry
+        if stored_extra != extra or len(refs) != len(objs):
+            return None
+        for ref, obj in zip(refs, objs):
+            if ref() is not obj:
+                return None
+        return value
+
+    def _cache_store(self, attr: str, objs: tuple, extra, value):
+        import weakref
+
+        try:
+            refs = tuple(weakref.ref(o) for o in objs)
+        except TypeError:
+            return  # unreferenceable host object: skip caching
+        setattr(self, attr, (refs, extra, value))
+
+    def _cached_device_input(self, X):
+        """Device copy of a repeatedly-used input set (e.g. per-epoch
+        validation), cached by identity of the host object."""
         import jax.numpy as jnp
 
-        from qbmx.samplers.api import SASampler
-        from qbmx.samplers.native import NativeSASampler
+        x = self._cache_lookup("_predict_data", (X,), None)
+        if x is None:
+            x = jnp.asarray(self._prepare_inputs(np.asarray(X, dtype="float32")))
+            self._cache_store("_predict_data", (X,), None, x)
+        return x
 
-        if isinstance(self.sampler, SASampler):
-            n = self._qubo_n()
-            return not self.sampler._pallas_enabled(
-                jnp.zeros((1, n, n)), self.sample_count
-            )
-        if isinstance(self.sampler, NativeSASampler):
-            return jax.default_backend() == "cpu"
-        return True
+    def supports_epoch_scan(self) -> bool:
+        """lax.scan over batches — declined by the sampler itself when it
+        routes to the Pallas kernel (axon AOT hang) or cannot be traced at
+        all (capability flags in qbmx.samplers.api)."""
+        from qbmx.samplers.api import sampler_scan_safe
+
+        return sampler_scan_safe(self.sampler, self._qubo_n(), self.sample_count)
 
     def supports_whole_epoch_jit(self) -> bool:
-        """Broader than scan support: Pallas samplers can be unrolled; only
-        the native sampler off-CPU must stay on the eager per-batch path."""
-        import jax
+        """Broader than scan support: jit-safe samplers that can't scan
+        (Pallas) are unrolled; host-bound samplers (QPU adapter, native
+        sampler off-CPU) stay on the eager per-batch path."""
+        from qbmx.samplers.api import sampler_jit_safe
 
-        from qbmx.samplers.native import NativeSASampler
-
-        if isinstance(self.sampler, NativeSASampler):
-            return jax.default_backend() == "cpu"
-        return True
+        return sampler_jit_safe(self.sampler)
 
     def _build_epoch_scan(self):
         import jax
@@ -146,23 +170,22 @@ class EpochLaunchMixin:
         import jax
         import jax.numpy as jnp
 
-        cache_key = (id(x), id(y), len(x), batch_size)
-        if getattr(self, "_epoch_data_key", None) == cache_key:
-            xb, yb, maskb, nb = self._epoch_data
+        cached = self._cache_lookup("_epoch_data", (x, y), batch_size)
+        if cached is not None:
+            xb, yb, maskb, nb = cached
         else:
-            x = self._prepare_inputs(np.asarray(x, dtype="float32"))
-            y = np.asarray(y)
-            n = len(x)
+            xh = self._prepare_inputs(np.asarray(x, dtype="float32"))
+            yh = np.asarray(y)
+            n = len(xh)
             nb = -(-n // batch_size)
             pad = nb * batch_size - n
             mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
-            xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
-            yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)]) if pad else y
-            xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
+            xp = np.concatenate([xh, np.zeros((pad,) + xh.shape[1:], xh.dtype)]) if pad else xh
+            yp = np.concatenate([yh, np.zeros((pad,) + yh.shape[1:], yh.dtype)]) if pad else yh
+            xb = jnp.asarray(xp.reshape((nb, batch_size) + xh.shape[1:]))
             yb = jnp.asarray(yp.reshape(nb, batch_size))
             maskb = jnp.asarray(mask.reshape(nb, batch_size))
-            self._epoch_data_key = cache_key
-            self._epoch_data = (xb, yb, maskb, nb)
+            self._cache_store("_epoch_data", (x, y), batch_size, (xb, yb, maskb, nb))
 
         if self.supports_epoch_scan():
             if not hasattr(self, "_epoch_scan_fn"):

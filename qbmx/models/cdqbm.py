@@ -202,8 +202,13 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         if load_path:
             self.load_params(load_path)
 
-        self._step = jax.jit(self._step_fn)
-        self._predict_probs = jax.jit(self._predict_fn)
+        # host-bound samplers (QPU adapter, native off-CPU) declare
+        # jit_safe=False: the step then runs eagerly on concrete arrays
+        from qbmx.samplers.api import sampler_jit_safe
+
+        maybe_jit = jax.jit if sampler_jit_safe(self.sampler) else (lambda f: f)
+        self._step = maybe_jit(self._step_fn)
+        self._predict_probs = maybe_jit(self._predict_fn)
         self.training_history = None
 
     # -- context -------------------------------------------------------------
@@ -493,17 +498,9 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         """Chunked batched prediction: one enormous sampling launch (e.g.
         hundreds of 700-variable anneals) can exceed the TPU runtime's
         kernel watchdog — bound each launch to ``chunk`` examples.  The
-        device copy is cached by array identity (per-epoch validation
-        re-sends the same array otherwise)."""
-        key_id = (id(X), len(X))
-        if getattr(self, "_predict_data_key", None) == key_id:
-            x = self._predict_data
-        else:
-            x = jnp.asarray(X, dtype=jnp.float32)
-            if x.ndim == 2:
-                x = x.reshape((-1,) + self.geo.image_shape)
-            self._predict_data_key = key_id
-            self._predict_data = x
+        device copy is cached weakref-keyed on the host object (per-epoch
+        validation re-sends the same array otherwise)."""
+        x = self._cached_device_input(X)  # _prepare_inputs reshapes flat → image
         outs = []
         for i in range(0, x.shape[0], chunk):
             self.key, k = jax.random.split(self.key)

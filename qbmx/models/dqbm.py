@@ -42,6 +42,7 @@ import numpy as np
 
 from qbmx.models.base import EpochLaunchMixin, QBMModel
 from qbmx.samplers.api import Sampler, get_sampler
+from qbmx.samplers.api import sampler_jit_safe as _jit_safe
 
 Pytree = Any
 
@@ -272,8 +273,9 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         one_hot = self.use_one_hot_encoding
 
         linear_shortcut = self.use_linear_shortcut
+        maybe_jit = jax.jit if _jit_safe(sampler) else (lambda f: f)
 
-        @jax.jit
+        @maybe_jit
         def step(params: DQBMParams, x, y, mask, lr, key):
             y_vec = (
                 jax.nn.one_hot(y.astype(jnp.int32), n_out)
@@ -333,8 +335,9 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         beta_eff = self.beta_eff
         reads = self.sample_count
         one_hot = self.use_one_hot_encoding
+        maybe_jit = jax.jit if _jit_safe(sampler) else (lambda f: f)
 
-        @jax.jit
+        @maybe_jit
         def predict_probs(params: DQBMParams, x, key):
             Qu = unclamped_qubo_batch(params, x, beta_eff)
             s_u = sampler.sample_batch(key, Qu, reads)
@@ -368,15 +371,7 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         return int(preds[0])
 
     def predict_batch(self, X):
-        # cache the device copy of a repeatedly-evaluated set (per-epoch
-        # validation re-sends the same array otherwise)
-        key_id = (id(X), len(X))
-        if getattr(self, "_predict_data_key", None) == key_id:
-            x = self._predict_data
-        else:
-            x = jnp.asarray(X, dtype=jnp.float32)
-            self._predict_data_key = key_id
-            self._predict_data = x
+        x = self._cached_device_input(X)
         self.key, k = jax.random.split(self.key)
         marg, probs = self._predict_probs(self.params, x, k)
         marg = np.asarray(marg)

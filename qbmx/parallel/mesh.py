@@ -179,6 +179,13 @@ def shard_model(model, mesh: Mesh):
     """Swap the model's single-device step for a mesh-sharded one, in place.
     Training code (qbmx.train.loop) is oblivious — it keeps calling
     ``train_for_one_iteration``; batch rows must be divisible by the dp size."""
+    from qbmx.samplers.api import sampler_jit_safe
+
+    if not sampler_jit_safe(model.sampler):
+        raise TypeError(
+            "sharded steps trace the sampler inside jit; the model's sampler "
+            "declares jit_safe=False (host-bound)"
+        )
     if isinstance(model, dqbm_mod.DiscQBM):
         model._step = make_dqbm_sharded_step(model, mesh)
     elif isinstance(model, cdqbm_mod.CDQBM):

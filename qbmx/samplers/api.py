@@ -22,6 +22,7 @@ import dataclasses
 from typing import Protocol
 
 import jax
+import jax.numpy as jnp
 
 from qbmx.samplers import exact as _exact
 from qbmx.samplers import gibbs as _gibbs
@@ -32,6 +33,29 @@ class Sampler(Protocol):
     def sample_batch(self, key: jax.Array, Q: jax.Array, num_reads: int) -> jax.Array:
         """(B, n, n) QUBOs → (B, num_reads, n) binary samples."""
         ...
+
+
+def sampler_jit_safe(sampler) -> bool:
+    """Capability flag: can ``sample_batch`` be traced inside jit?
+
+    Declared by the sampler itself (``jit_safe`` attribute/property,
+    default True).  False for host-bound samplers — the QPU adapter (each
+    sample is a network call) and the native C++ sampler off-CPU (the axon
+    runtime rejects host callbacks).  Models build their training step
+    EAGERLY for such samplers instead of special-casing sampler types."""
+    return bool(getattr(sampler, "jit_safe", True))
+
+
+def sampler_scan_safe(sampler, n: int, num_reads: int) -> bool:
+    """Capability flag: can ``sample_batch`` live inside ``lax.scan``?
+
+    Implies jit-safety.  SASampler declines when it would route to the
+    Pallas kernel (a pallas_call inside lax.scan hangs the axon AOT
+    compiler — CLAUDE.md); other samplers default to their jit-safety."""
+    if not sampler_jit_safe(sampler):
+        return False
+    scan_safe = getattr(sampler, "scan_safe", None)
+    return bool(scan_safe(n, num_reads)) if scan_safe is not None else True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +72,12 @@ class SASampler:
 
             return sa_pallas.sa_sample_batch_pallas(key, Q, num_reads, self.num_sweeps)
         return _sa_jax.sa_sample_batch(key, Q, num_reads, self.num_sweeps)
+
+    def scan_safe(self, n: int, num_reads: int) -> bool:
+        """lax.scan-compatible iff not routed to the Pallas kernel (axon
+        AOT hang).  Probed with shape metadata only — no device alloc."""
+        probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         if self.use_pallas is not None:
@@ -124,19 +154,11 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
     if s == "SA-JAX":
         return SASampler(num_sweeps=num_sweeps, use_pallas=False)
     if s == "SA-NATIVE":
+        # Off-CPU the sampler declares jit_safe=False (the axon runtime
+        # rejects host callbacks), so models build their training step
+        # eagerly and sampling runs host-side on concrete arrays.
         from qbmx.samplers.native import NativeSASampler
 
-        backend = jax.default_backend()
-        if backend != "cpu":
-            # The axon TPU runtime rejects host callbacks (pure_callback →
-            # UNIMPLEMENTED), so the native sampler cannot run inside jitted
-            # training steps on this backend.  Fail at construction with
-            # guidance instead of mid-epoch (ADVICE r1).
-            raise RuntimeError(
-                f'solver "SA-NATIVE" needs the CPU backend (active: {backend!r}); '
-                "run with QBMX_PLATFORM=cpu, or construct NativeSASampler "
-                "directly for eager host-side sampling."
-            )
         return NativeSASampler(num_sweeps=num_sweeps)
     if s == "BMS":
         return GibbsSampler(

@@ -90,6 +90,14 @@ class NativeSASampler:
     def __init__(self, num_sweeps: int = 1000):
         self.num_sweeps = int(num_sweeps)
 
+    @property
+    def jit_safe(self) -> bool:
+        """Traceable only where pure_callback works (the axon TPU runtime
+        rejects host callbacks); models fall back to eager steps otherwise."""
+        import jax
+
+        return jax.default_backend() == "cpu"
+
     def sample_batch(self, key, Q, num_reads: int):
         import jax.numpy as jnp
 

@@ -59,6 +59,9 @@ class QPUSampler:
     connection failure to obtain a fresh sampler before the single retry.
     """
 
+    #: each sample is a network roundtrip — models must use eager steps
+    jit_safe = False
+
     def __init__(self, sampler, refresh=None, **sample_params):
         self.sampler = sampler
         self.refresh = refresh

@@ -323,18 +323,26 @@ def sa_sample_batch_pallas(
     # R=1024; B=120, n=6, 1000 sweeps).
     use_mask = stride <= 16 and R <= 128
 
-    # per-block diagonal sub-blocks of J for the block-sweep corrections
-    # (Mosaic can't dynamically lane-slice J in-kernel)
-    K = block_vars(P)
-    BS = K * P
-    nb = -(-n // K)
-    assert nb * BS <= N, (n, P, K, BS, nb, N)  # blocks stay inside the tile
-    Jd = jnp.stack(
-        [J_int[:, b * BS : (b + 1) * BS, b * BS : (b + 1) * BS] for b in range(nb)],
-        axis=1,
-    )  # (G, nb, BS, BS)
-    in_specs.insert(4, pl.BlockSpec((1, nb, BS, BS), lambda g: (g, 0, 0, 0),
-                                    memory_space=pltpu.VMEM))
+    if use_mask:
+        # the masked strategy never reads Jd — pass a minimal placeholder
+        nb, BS = 1, 8
+        Jd = jnp.zeros((G, nb, BS, 128), jnp.float32)
+        jd_spec = pl.BlockSpec((1, nb, BS, 128), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        # per-block diagonal sub-blocks of J for the block-sweep corrections
+        # (Mosaic can't dynamically lane-slice J in-kernel)
+        K = block_vars(P)
+        BS = K * P
+        nb = -(-n // K)
+        assert nb * BS <= N, (n, P, K, BS, nb, N)  # blocks stay inside the tile
+        Jd = jnp.stack(
+            [J_int[:, b * BS : (b + 1) * BS, b * BS : (b + 1) * BS] for b in range(nb)],
+            axis=1,
+        )  # (G, nb, BS, BS)
+        jd_spec = pl.BlockSpec((1, nb, BS, BS), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs.insert(4, jd_spec)
     operands.insert(4, Jd)
 
     out = pl.pallas_call(

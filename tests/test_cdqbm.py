@@ -448,10 +448,10 @@ class TestCDQBMEpochLaunch:
         assert m.supports_epoch_scan()
         nlls, errs = m.train_epoch(x, y, batch_size=4, learning_rate=0.05)
         assert nlls.shape == (3,) and np.all(np.isfinite(nlls))
-        # cached device batches reused on the second epoch
-        key0 = m._epoch_data_key
+        # cached device batches reused on the second epoch (same entry)
+        entry = m._epoch_data
         m.train_epoch(x, y, batch_size=4, learning_rate=0.05)
-        assert m._epoch_data_key == key0
+        assert m._epoch_data is entry
 
     def test_train_epoch_accepts_flat_inputs(self):
         m = self._model()

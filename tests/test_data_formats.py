@@ -108,3 +108,18 @@ def test_cli_load_dataset_cifar_and_fashion(tmp_path, monkeypatch):
     (tx, ty), _, (ex, ey) = load_dataset("cifar-10", seed=0,
                                          samples_per_class=30)
     assert tx.shape[1:] == (32, 32) and set(np.unique(ty)) <= {0, 1}
+
+
+def test_resolve_subdir_hint_prevents_cross_dataset_shadowing(tmp_path, monkeypatch):
+    """A fashionmnist-hinted request must NOT resolve to a same-named MNIST
+    blob (round-2 review finding)."""
+    (tmp_path / "mnist").mkdir()
+    (tmp_path / "mnist" / "train-images-idx3-ubyte").write_bytes(b"\0" * 32)
+    monkeypatch.setattr(loaders, "_DATA_ROOT_CANDIDATES", (str(tmp_path),))
+    with pytest.raises(FileNotFoundError):
+        loaders._resolve("fashionmnist/train-images-idx3-ubyte")
+    # hinted to the right subdir, it resolves
+    assert loaders._resolve("mnist/train-images-idx3-ubyte").endswith(
+        "mnist/train-images-idx3-ubyte")
+    # bare filenames still search all subdirs (back-compat)
+    assert loaders._resolve("train-images-idx3-ubyte")

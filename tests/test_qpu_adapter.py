@@ -120,3 +120,38 @@ def test_ordered_samples_handles_subset_order():
     ss = FakeSampleSet([[1, 0, 1]], variables=[2, 0, 1])
     out = _ordered_samples(ss, 3)
     np.testing.assert_array_equal(out[0], [0.0, 1.0, 1.0])
+
+
+def test_qpu_sampler_trains_eagerly_end_to_end():
+    """Models build EAGER steps for jit-unsafe samplers, so the QPU adapter
+    actually trains (round-2 review finding: the jitted step made every
+    training path raise)."""
+    from qbmx.models.dqbm import DiscQBM
+    from qbmx.train.loop import train_model
+
+    adapter = QPUSampler(FakeDimodSampler())
+    m = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=4,
+                restricted=True, sampler=adapter)
+    assert not m.supports_whole_epoch_jit() and not m.supports_epoch_scan()
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (6, 3)).astype("float32")
+    y = np.asarray([0, 1] * 3, dtype="float32")
+    h = train_model(m, x, y, batch_size=3, learning_rate=0.1, epochs=1,
+                    verbose=False)
+    assert len(h.nll_per_batch) == 2 and np.isfinite(h.nll_per_batch).all()
+    preds, _ = m.predict_batch(x)
+    assert preds.shape == (6,)
+
+
+def test_shard_model_rejects_host_bound_sampler():
+    import jax
+    import pytest as _pytest
+
+    from qbmx.models.dqbm import DiscQBM
+    from qbmx.parallel.mesh import make_mesh, shard_model
+
+    m = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=0, sample_count=4,
+                sampler=QPUSampler(FakeDimodSampler()))
+    mesh = make_mesh(dp=len(jax.devices()), chains=1)
+    with _pytest.raises(TypeError, match="jit_safe"):
+        shard_model(m, mesh)
