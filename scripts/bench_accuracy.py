@@ -39,8 +39,9 @@ from qbmx.models.rbm import (
 
 
 def train_and_eval(method: str, xb, yb, test_x, test_y, num_hidden=128,
-                   epochs=30, lr=0.05, seed=0):
-    step = make_train_step(num_classes=2, method=method, cd_k=1)
+                   epochs=30, lr=0.05, seed=0, compute_dtype=jnp.float32):
+    step = make_train_step(num_classes=2, method=method, cd_k=1,
+                           compute_dtype=compute_dtype)
     epoch = make_epoch_scan(step)
     params = init_params(jax.random.key(seed), xb.shape[-1], num_hidden, 2)
     key = jax.random.key(seed + 1)
@@ -70,6 +71,9 @@ def main():
 
     acc_cd1 = train_and_eval("generative", xb, yb, test_x, test_y)
     acc_exact = train_and_eval("discriminative", xb, yb, test_x, test_y)
+    # the throughput headline runs the bf16 compute mode — verify it too
+    acc_cd1_bf16 = train_and_eval("generative", xb.astype(jnp.bfloat16), yb,
+                                  test_x, test_y, compute_dtype=jnp.bfloat16)
 
     # throughput, same process / same chip / same headline config
     import contextlib
@@ -85,13 +89,15 @@ def main():
                    "(bench.load_images pipeline)", "cd_k": 1},
         "throughput": tput,
         "test_accuracy_cd1": round(acc_cd1, 4),
+        "test_accuracy_cd1_bf16": round(acc_cd1_bf16, 4),
         "test_accuracy_exact_discriminative": round(acc_exact, 4),
         "n_train": int(nb * bs),
         "n_test": int(len(test_y)),
         "baseline_note": "BASELINE.json: accuracy within 1% of reference "
                          "runs; reference RBM on this near-separable task "
                          "is ceiling accuracy (~1.0)",
-        "within_1pct": bool(acc_cd1 >= 0.99 and acc_exact >= 0.99),
+        "within_1pct": bool(acc_cd1 >= 0.99 and acc_exact >= 0.99
+                            and acc_cd1_bf16 >= 0.99),
     }
     path = Path("out/parity/bench_accuracy.json")
     path.parent.mkdir(parents=True, exist_ok=True)

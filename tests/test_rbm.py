@@ -189,3 +189,38 @@ class TestWarmStart:
             model.train_for_one_iteration(x, y.astype("float32"), 0.3)
         preds1, _ = model.predict_batch(x)
         assert (preds1 == y).mean() >= acc0 - 0.05  # no catastrophic forgetting
+
+
+class TestBf16ComputeMode:
+    def test_bf16_cd1_learns_like_f32(self):
+        """The bench throughput mode (compute_dtype=bfloat16) must train to
+        comparable accuracy on a small separable task."""
+        import jax
+        import jax.numpy as jnp
+
+        from qbmx.models.rbm import (
+            init_params, make_epoch_scan, make_train_step, predict_proba,
+        )
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 1, (2, 16))
+        y = rng.integers(0, 2, 256)
+        x = ((0.7 * base[y] + 0.3 * rng.uniform(0, 1, (256, 16))) > 0.5).astype("float32")
+        xb = jnp.asarray(x.reshape(8, 32, 16))
+        yb = jnp.asarray(y.reshape(8, 32), jnp.int32)
+        accs = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            step = make_train_step(num_classes=2, method="generative", cd_k=1,
+                                   compute_dtype=dt)
+            epoch = make_epoch_scan(step)
+            params = init_params(jax.random.key(0), 16, 8, 2)
+            key = jax.random.key(1)
+            for _ in range(30):
+                key, k = jax.random.split(key)
+                params, _ = epoch(params, k, xb.astype(dt), yb, 0.1)
+            # params stay f32 regardless of compute dtype
+            assert params.weights.dtype == jnp.float32
+            preds = np.argmax(np.asarray(predict_proba(params, jnp.asarray(x))), axis=1)
+            accs[dt] = (preds == y).mean()
+        assert accs[jnp.bfloat16] >= accs[jnp.float32] - 0.05
+        assert accs[jnp.float32] > 0.9
