@@ -156,6 +156,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         num_classes: int = 2,
         pool_select: str = "min",
         center_fmap: bool = False,
+        prob_penalty: float = PROB_POOL_PENALTY,
     ):
         """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
         by default = reference parity).  The exact-enumeration study
@@ -164,6 +165,9 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         selects a near-input-independent unit, capping separability;
         ``pool_select="absmax"`` (strongest-|response| unit) and
         ``center_fmap=True`` (zero-mean fmap per image) both restore it.
+        ``prob_penalty`` exposes the probabilistic-pooling penalty strength
+        the reference hardcodes at 0.8225 (``src/qubo/builder.py:26-27``);
+        the exact study shows the default binds weakly.
         """
         if pool_select not in ("min", "max", "absmax"):
             raise ValueError(f"unknown pool_select {pool_select!r}")
@@ -188,13 +192,14 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.beta_eff = float(beta_eff)
         self.pool_select = pool_select
         self.center_fmap = bool(center_fmap)
+        self.prob_penalty = float(prob_penalty)
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
 
         # static tables
         self.patch_idx = jnp.asarray(patch_index_grid(image_shape, kernel_size, stride))
         self.windows = jnp.asarray(self.geo.pool_windows) if self.geo.has_pooling else None
-        self.penalty_hidden = jnp.asarray(build_penalty_matrix(self.geo))
+        self.penalty_hidden = jnp.asarray(build_penalty_matrix(self.geo, self.prob_penalty))
 
         self.key = jax.random.key(seed)
         self.key, init_key = jax.random.split(self.key)

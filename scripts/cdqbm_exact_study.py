@@ -163,6 +163,15 @@ def main():
             sequential_layer_sizes=[2], hidden_bias_type="shared",
         ),
     ]
+    # penalty-strength sweep: the reference hardcodes 0.8225 — how much of
+    # the probabilistic-pooling cap is a weakly-binding penalty?
+    for pen in (0.25, 2.0, 5.0, 10.0):
+        rows.append(run_variant(
+            f"prob pooling, penalty={pen}", X, Y, Xt, Yt,
+            kernel_size=4, pooling_size=2, pooling_type="probabilistic",
+            sequential_layer_sizes=[2], hidden_bias_type="shared",
+            prob_penalty=pen,
+        ))
 
     lines = [
         "# CDQBM exact-enumeration capacity study",

@@ -478,3 +478,19 @@ class TestCDQBMEpochLaunch:
         y = (rng.uniform(size=8) < 0.5).astype("float32")
         train_model(m, x, y, batch_size=4, learning_rate=0.05, epochs=2, verbose=False)
         assert calls["n"] == 2
+
+
+def test_prob_penalty_flag_scales_penalty_matrix():
+    """The reference hardcodes 0.8225; the flag must scale the penalty
+    terms linearly (round-2 extension)."""
+    from qbmx.samplers.api import GibbsSampler
+
+    kw = dict(image_shape=(6, 6), num_label_nodes=1, seed=0, kernel_size=4,
+              pooling_size=2, pooling_type="probabilistic",
+              sequential_layer_sizes=[2], sample_count=4,
+              sampler=GibbsSampler(num_warmup=2))
+    m1 = CDQBM(**kw)
+    m2 = CDQBM(**kw, prob_penalty=1.645)
+    assert float(m1.prob_penalty) == 0.8225  # parity default
+    np.testing.assert_allclose(np.asarray(m2.penalty_hidden),
+                               2.0 * np.asarray(m1.penalty_hidden), rtol=1e-6)
