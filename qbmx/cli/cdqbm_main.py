@@ -25,7 +25,7 @@ def main(
     pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
-    signed_input=False, prob_penalty=0.8225,
+    signed_input=False, prob_penalty=0.8225, progress=False,
 ):
     print("Start")
     random.seed(seed)
@@ -83,7 +83,7 @@ def main(
         qbm, train_x, train_y, batch_size=batch_size,
         learning_rate=learning_rate, epochs=epochs,
         save_folder=f"{save}{pstr}" if save else None,
-        class_titles=class_names,
+        class_titles=class_names, progress=progress,
     )
     print("QBM trained")
 
@@ -143,6 +143,8 @@ def build_parser():
     p.add_argument("--seq_sizes", type=int, nargs="*", default=[4])
     p.add_argument("--coreset_budget", type=int, default=0,
                    help="k-center coreset size (0 = use all training data)")
+    p.add_argument("--progress", action="store_true",
+                   help="tqdm bar over per-batch loops (eager path only)")
     p.add_argument("--beta_eff", type=float, default=1.0,
                    help="effective inverse temperature divisor (the reference "
                         "hardcodes 1.0; raise it to soften saturated conv units)")
@@ -182,4 +184,5 @@ if __name__ == "__main__":
         samples_per_class=flags.samples_per_class,
         pool_select=flags.pool_select, center_fmap=flags.center_fmap,
         signed_input=flags.signed_input, prob_penalty=flags.prob_penalty,
+        progress=flags.progress,
     )

@@ -21,7 +21,7 @@ def main(
     seed=19, n_hidden_nodes=10, solver="SA", sample_count=100, anneal=1000,
     beta_eff=1.0, epochs=3, batch_size=10, learning_rate=0.01, restricted=True,
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
-    use_one_hot_encoding=False, load_path="",
+    use_one_hot_encoding=False, load_path="", progress=False,
 ):
     print("Start")
     random.seed(seed)
@@ -57,7 +57,7 @@ def main(
     t0 = time.time()
     history = train_model(
         dqbm, train_X, train_y, test_X, test_y, batch_size=batch_size,
-        learning_rate=learning_rate, epochs=epochs,
+        learning_rate=learning_rate, epochs=epochs, progress=progress,
         save_folder=f"{save}{pstr}" if save else None,
     )
     print(f"QBM trained in {time.time() - t0:.1f}s")
@@ -111,6 +111,8 @@ def build_parser():
                    help="Checkpoint pickle to initialize from")
     p.add_argument("--save", "--out", dest="save", type=str, default="out/")
     p.add_argument("--name", type=str, default="run")
+    p.add_argument("--progress", action="store_true",
+                   help="tqdm bar over per-batch loops (eager path only)")
     p.add_argument("--beta_eff", type=float, default=1.0)
     return p
 
@@ -126,5 +128,5 @@ if __name__ == "__main__":
         parallelize=flags.parallelize, sample_count=flags.sample_count,
         anneal=flags.anneal, save=flags.save, name=flags.name,
         beta_eff=flags.beta_eff, use_one_hot_encoding=flags.one_hot,
-        load_path=flags.load_path,
+        load_path=flags.load_path, progress=flags.progress,
     )

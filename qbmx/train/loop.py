@@ -21,13 +21,28 @@ import numpy as np
 from qbmx.utils.metrics import History, get_metrics, save_history
 
 
+def _progress(iterable, desc, enabled):
+    """tqdm progress for long per-batch loops (the reference wraps its
+    batch/epoch loops in tqdm throughout, e.g. ``src/train/train.py:268``);
+    silently inert when tqdm is unavailable or disabled."""
+    if not enabled:
+        return iterable
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, desc=desc, leave=False)
+    except ImportError:  # pragma: no cover
+        return iterable
+
+
 def _run_epoch_batches(model, train_X, train_Y, batch_size, learning_rate, history,
-                       save_folder, epoch):
+                       save_folder, epoch, progress=False):
     """Reference-style per-batch loop (used for mesh-sharded models and any
     model without a scanned-epoch path)."""
     errs, nlls = [], []
     batchnum = 1
-    for b in range(0, len(train_X), batch_size):
+    for b in _progress(range(0, len(train_X), batch_size),
+                       f"epoch {epoch}", progress):
         x_batch = train_X[b : b + batch_size]
         y_batch = train_Y[b : b + batch_size]
         if len(x_batch) == 0:
@@ -81,7 +96,11 @@ def train_model(
     class_titles=("0", "1"),
     verbose: bool = True,
     history: History | None = None,
+    progress: bool = False,
 ) -> History:
+    """``progress=True`` draws a tqdm bar over the per-batch loop (only the
+    eager path has batch granularity; whole-epoch launches are single
+    device calls and report at epoch granularity via ``verbose``)."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
     epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
@@ -129,7 +148,7 @@ def train_model(
         else:
             epoch_errors, epoch_nll = _run_epoch_batches(
                 model, train_X, train_Y, batch_size, learning_rate, history,
-                save_folder, epoch,
+                save_folder, epoch, progress=progress,
             )
 
         if save_folder:
