@@ -30,13 +30,19 @@ def _metropolis_sweep(s, u, beta, h, J):
 
     s: (R, n) current states in {0,1}; u: (n, R) per-variable uniforms;
     beta: scalar inverse temperature; h: (n,), J: (n, n) symmetric, zero diag.
-    """
+
+    Acceptance uses the log-threshold form: ``u < exp(-beta*max(delta,0))``
+    is exactly ``delta < -log(u)/beta`` for u in [0,1) and beta > 0, so the
+    thresholds are precomputed ONCE per sweep and each variable step costs
+    one compare instead of exp+max+compare.  The Pallas kernel uses the
+    SAME formulation (the CI debug tests lock the two bit-for-bit)."""
     n = h.shape[0]
+    thresh = -jnp.log(u) / beta  # (n, R)
 
     def body(i, s):
         field = h[i] + jnp.dot(s, J[i], precision="highest")  # (R,) local field of variable i in every chain
         delta = (1.0 - 2.0 * s[:, i]) * field
-        accept = u[i] < jnp.exp(-beta * jnp.maximum(delta, 0.0))
+        accept = delta < thresh[i]
         return s.at[:, i].set(jnp.where(accept, 1.0 - s[:, i], s[:, i]))
 
     return jax.lax.fori_loop(0, n, body, s)

@@ -157,27 +157,33 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
 
     if use_mask:
         J = J_ref[0]  # (N, N) cached for the whole anneal
-        hot = hot_ref[0]  # (N, 1)
-        logr = logr_ref[0]
+    hot = hot_ref[0]  # (N, 1)
+    logr = logr_ref[0]
 
     def sweep_body(t, carry):
         frac = t.astype(jnp.float32) * inv_span
         # one (N, R) block of uniforms serves the whole sweep: each row is
-        # Metropolis-updated at exactly one step (its own variable index)
+        # Metropolis-updated at exactly one step (its own variable index).
+        # The uniforms are converted to ACCEPTANCE THRESHOLDS up front:
+        # u < exp(-beta*max(delta,0))  ⟺  delta < -log(u)/beta  for
+        # u ∈ [0,1), beta > 0 — one compare per sub-step instead of
+        # exp+max+compare, and no per-sub-step schedule reads.  sa_jax
+        # uses the same formulation (CI debug tests lock them bit-for-bit).
         if debug:
-            u_ref[...] = u_all_ref[0, t]
+            u = u_all_ref[0, t]
         else:
             ubits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
-            u_ref[...] = pltpu.bitcast(ubits >> 8, jnp.int32).astype(jnp.float32) * inv24
+            u = pltpu.bitcast(ubits >> 8, jnp.int32).astype(jnp.float32) * inv24
+        beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
+        u_ref[...] = -jnp.log(u) / beta_rows
 
         if use_mask:
-            beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
 
             def var_body(i, carry):
                 s = out_ref[0]
                 field = jnp.dot(J, s, preferred_element_type=jnp.float32)
                 delta = (1.0 - 2.0 * s) * field
-                accept = u_ref[...] < jnp.exp(-beta_rows * jnp.maximum(delta, 0.0))
+                accept = delta < u_ref[...]
                 flip = jnp.logical_and(accept, step_of_row == i)
                 out_ref[0] = jnp.where(flip, 1.0 - s, s)
                 return carry
@@ -195,10 +201,10 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                 rj = r0 + j * P
                 rows = pl.ds(pl.multiple_of(rj, 8) if P % 8 == 0 else rj, P)
                 s_blk = out_ref[0, rows, :]  # (P, R)
-                delta = (1.0 - 2.0 * s_blk) * F[j * P : (j + 1) * P, :]
-                beta = hot_ref[0, rows, :] * jnp.exp(logr_ref[0, rows, :] * frac)
-                accept = u_ref[rows, :] < jnp.exp(-beta * jnp.maximum(delta, 0.0))
-                ds = jnp.where(accept, 1.0 - 2.0 * s_blk, 0.0)  # flip = ±1
+                c = 1.0 - 2.0 * s_blk  # flip direction ±1
+                delta = c * F[j * P : (j + 1) * P, :]
+                accept = delta < u_ref[rows, :]
+                ds = jnp.where(accept, c, 0.0)
                 out_ref[0, rows, :] = s_blk + ds
                 if j < k_here - 1:
                     # correct remaining in-block fields: F += J[:, cols_j] @ ds
