@@ -56,7 +56,11 @@ def main():
                            compute_dtype=jnp.bfloat16)
     epoch = make_epoch_scan(step)
     params = init_params(jax.random.key(0), xb.shape[-1], num_hidden, 2)
-    key = jax.random.key(1)
+    # rbg PRNG: XLA's RngBitGenerator instead of threefry — the Gibbs
+    # bernoulli draws were VPU-bound under threefry (20.9 -> 37.6M imgs/s
+    # measured on v5e at this config; unsafe_rbg measured slower at 51.8M
+    # vs rbg 56.3M after the mean-field-CD change)
+    key = jax.random.key(1, impl="rbg")
 
     # Device-resident multi-epoch loop: ONE dispatch + ONE scalar fetch per
     # measurement.  The axon tunnel neither pipelines rapid dispatches nor

@@ -94,20 +94,35 @@ def _class_prob(params, h):
 
 
 def cd_stats(params: RBMParams, key, v0, y_onehot, k: int, v_init=None, y_init=None,
-             compute_dtype=jnp.float32):
+             compute_dtype=jnp.float32, persistent: bool = False):
     """CD-k positive/negative statistics.
 
-    Returns (pos, neg) pytrees of RBMParams-shaped expected sufficient
-    statistics (batch-meaned, always float32), plus the final (v, y) state
-    for PCD chains.  Standard Hinton recipe: binary hidden samples drive
-    the chain, mean-field probabilities enter the statistics.
+    Returns ``(pos, neg, (vk, yk), recon)``: (pos, neg) are
+    RBMParams-shaped expected sufficient statistics (batch-meaned, always
+    float32), (vk, yk) is the final chain state for PCD, and ``recon`` is
+    the visible reconstruction probability of the last step (a free
+    reconstruction-error signal for the caller).
+
+    Standard Hinton recipe (*A Practical Guide to Training RBMs*, §3):
+    binary hidden samples drive the chain; the FINAL update is mean-field —
+    the visible/class reconstructions enter the negative statistics as
+    probabilities, not samples, and the paired hidden term is the
+    probability computed from them.  Intermediate chain steps (k > 1)
+    sample everything.  Besides the variance reduction, skipping the final
+    visible/class draws removes ~6/7 of the RNG work of CD-1 (784 visible
+    bits vs 128 hidden bits per image on the bench config).
+
+    ``persistent=True`` (PCD) keeps the classical fully-sampled chain: the
+    fantasy particles must stay binary to carry across steps, and the
+    negative statistics come from those samples (paired with their hidden
+    probabilities).
 
     ``compute_dtype=jnp.bfloat16`` is the throughput mode (bench.py): the
     Gibbs chain's binary states and the statistics matmul inputs run at
     bf16, halving the HBM traffic of the bandwidth-bound CD-1 benchmark
-    (+22% imgs/s on v5e) with measured accuracy unchanged
-    (out/parity/bench_accuracy.json).  Default float32 keeps the moment
-    matmuls at precision="highest" (CLAUDE.md invariant)."""
+    with measured accuracy unchanged (out/parity/bench_accuracy.json).
+    Default float32 keeps the moment matmuls at precision="highest"
+    (CLAUDE.md invariant)."""
     dt = compute_dtype
     prec = "highest" if dt == jnp.float32 else None
     B = v0.shape[0]
@@ -129,9 +144,6 @@ def cd_stats(params: RBMParams, key, v0, y_onehot, k: int, v_init=None, y_init=N
         )
         return (v, y), None
 
-    (vk, yk), _ = jax.lax.scan(gibbs, (v, y), jax.random.split(key, k))
-    phk = _hidden_prob(params, vk, yk).astype(dt)
-
     def stats(v, y, ph):
         return RBMParams(
             weights=(jnp.matmul(v.T, ph, precision=prec) / B).astype(jnp.float32),
@@ -141,7 +153,24 @@ def cd_stats(params: RBMParams, key, v0, y_onehot, k: int, v_init=None, y_init=N
             class_weights=(jnp.matmul(y.T, ph, precision=prec) / B).astype(jnp.float32),
         )
 
-    return stats(v0, y_onehot, ph0), stats(vk, yk, phk), (vk, yk)
+    pos = stats(v0, y_onehot, ph0)
+
+    if persistent:
+        (vk, yk), _ = jax.lax.scan(gibbs, (v, y), jax.random.split(key, k))
+        phk = _hidden_prob(params, vk, yk).astype(dt)
+        recon = _visible_prob(params, phk).astype(dt)
+        return pos, stats(vk, yk, phk), (vk, yk), recon
+
+    if k > 1:  # intermediate steps fully sampled
+        keys = jax.random.split(key, k)
+        (v, y), _ = jax.lax.scan(gibbs, (v, y), keys[:-1])
+        key = keys[-1]
+    # final mean-field update
+    h = jax.random.bernoulli(key, _hidden_prob(params, v, y)).astype(dt)
+    pv = _visible_prob(params, h).astype(dt)
+    py = _class_prob(params, h).astype(dt)
+    phk = _hidden_prob(params, pv, py).astype(dt)
+    return pos, stats(pv, py, phk), (pv, py), pv
 
 
 # ---------------------------------------------------------------------------
@@ -180,11 +209,19 @@ def make_train_step(
             factor = generative_factor if method == "hybrid" else 1.0
             y_onehot = jax.nn.one_hot(y.astype(jnp.int32), num_classes)
             v_init, y_init = (chain if persistent and chain is not None else (None, None))
-            pos, neg, new_chain = cd_stats(params, key, x, y_onehot, cd_k,
-                                           v_init=v_init, y_init=y_init,
-                                           compute_dtype=compute_dtype)
+            pos, neg, new_chain, recon = cd_stats(params, key, x, y_onehot, cd_k,
+                                                  v_init=v_init, y_init=y_init,
+                                                  compute_dtype=compute_dtype,
+                                                  persistent=persistent)
             updates = jax.tree.map(lambda u, p, n: u + factor * (p - n), updates, pos, neg)
-            if method in ("generative", "pcd"):
+            if method == "generative":
+                # reconstruction error from the CD chain itself — no extra
+                # forward pass (a data-mean-field recon would cost two more
+                # (B,784)x(784,H) matmuls per step just for reporting)
+                loss = jnp.mean((x.astype(recon.dtype) - recon) ** 2).astype(jnp.float32)
+            elif method == "pcd":
+                # fantasy-particle recon says nothing about x; report the
+                # data mean-field reconstruction error instead
                 loss = jnp.mean((x - _visible_prob(params, _hidden_prob(params, x, y_onehot))) ** 2)
         new = jax.tree.map(lambda p, u: p + lr * u, params, updates)
         # sparsity shrinkage on biases, reference ``update_weights``

@@ -96,11 +96,25 @@ class TestCD:
         params = init_params(jax.random.key(3), D, H, C)
         v = jnp.asarray(rng.integers(0, 2, (B, D)), dtype=jnp.float32)
         y = jax.nn.one_hot(jnp.asarray(rng.integers(0, C, B)), C)
-        pos, neg, (vk, yk) = cd_stats(params, jax.random.key(4), v, y, k=2)
+        pos, neg, (vk, yk), recon = cd_stats(params, jax.random.key(4), v, y, k=2)
         assert pos.weights.shape == (D, H) and neg.weights.shape == (D, H)
-        assert vk.shape == (B, D)
-        assert set(np.unique(np.asarray(vk))) <= {0.0, 1.0}
+        # non-persistent CD ends with a mean-field update: the final visible
+        # state is a probability in [0, 1], not a binary sample
+        assert vk.shape == (B, D) and recon.shape == (B, D)
+        assert np.all(np.asarray(vk) >= 0) and np.all(np.asarray(vk) <= 1)
+        assert np.allclose(np.asarray(yk).sum(axis=1), 1.0, atol=1e-5)
         assert np.all(np.asarray(pos.hidden_bias) >= 0) and np.all(np.asarray(pos.hidden_bias) <= 1)
+
+    def test_cd_stats_persistent_chain_is_binary(self, rng):
+        """PCD must carry BINARY fantasy particles (the classical chain)."""
+        D, H, C, B = 6, 4, 2, 8
+        params = init_params(jax.random.key(3), D, H, C)
+        v = jnp.asarray(rng.integers(0, 2, (B, D)), dtype=jnp.float32)
+        y = jax.nn.one_hot(jnp.asarray(rng.integers(0, C, B)), C)
+        pos, neg, (vk, yk), _ = cd_stats(params, jax.random.key(4), v, y, k=2,
+                                         persistent=True)
+        assert set(np.unique(np.asarray(vk))) <= {0.0, 1.0}
+        assert set(np.unique(np.asarray(yk))) <= {0.0, 1.0}
 
     def test_generative_training_reconstructs(self, rng):
         """CD-1 on a two-mode dataset should lower reconstruction error."""
