@@ -25,7 +25,7 @@ def main(
     pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
-    signed_input=False, prob_penalty=0.8225, progress=False,
+    signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
 ):
     print("Start")
     random.seed(seed)
@@ -66,7 +66,7 @@ def main(
         solver=solver, anneal=anneal, sample_count=sample_count,
         beta_eff=beta_eff, num_classes=num_classes,
         pool_select=pool_select, center_fmap=center_fmap,
-        prob_penalty=prob_penalty,
+        prob_penalty=prob_penalty, grad_clip=grad_clip,
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
@@ -163,6 +163,9 @@ def build_parser():
     p.add_argument("--prob_penalty", type=float, default=0.8225,
                    help="probabilistic-pooling penalty strength (reference "
                         "hardcodes 0.8225)")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="max gradient global L2 norm (0 = off, reference "
+                        "parity; flag-gated stability extension)")
     return p
 
 
@@ -184,5 +187,5 @@ if __name__ == "__main__":
         samples_per_class=flags.samples_per_class,
         pool_select=flags.pool_select, center_fmap=flags.center_fmap,
         signed_input=flags.signed_input, prob_penalty=flags.prob_penalty,
-        progress=flags.progress,
+        grad_clip=flags.grad_clip, progress=flags.progress,
     )

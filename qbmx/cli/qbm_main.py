@@ -21,7 +21,7 @@ def main(
     seed=19, n_hidden_nodes=10, solver="SA", sample_count=100, anneal=1000,
     beta_eff=1.0, epochs=3, batch_size=10, learning_rate=0.01, restricted=True,
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
-    use_one_hot_encoding=False, load_path="", progress=False,
+    use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
 ):
     print("Start")
     random.seed(seed)
@@ -49,7 +49,7 @@ def main(
         n_hidden_nodes=n_hidden_nodes, seed=seed, solver=solver,
         restricted=restricted, sample_count=sample_count, anneal_steps=anneal,
         beta_eff=beta_eff, use_one_hot_encoding=use_one_hot_encoding,
-        load_path=load_path,
+        load_path=load_path, grad_clip=grad_clip,
     )
     print("QBM created")
 
@@ -114,6 +114,9 @@ def build_parser():
     p.add_argument("--progress", action="store_true",
                    help="tqdm bar over per-batch loops (eager path only)")
     p.add_argument("--beta_eff", type=float, default=1.0)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="max gradient global L2 norm (0 = off, reference "
+                        "parity; flag-gated stability extension)")
     return p
 
 
@@ -129,4 +132,5 @@ if __name__ == "__main__":
         anneal=flags.anneal, save=flags.save, name=flags.name,
         beta_eff=flags.beta_eff, use_one_hot_encoding=flags.one_hot,
         load_path=flags.load_path, progress=flags.progress,
+        grad_clip=flags.grad_clip,
     )

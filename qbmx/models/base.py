@@ -12,6 +12,25 @@ from pathlib import Path
 import numpy as np
 
 
+def clip_by_global_norm(tree, max_norm: float):
+    """Scale a gradient pytree so its global L2 norm is at most ``max_norm``.
+
+    Flag-gated stability extension (OFF by default everywhere = reference
+    parity): sampled moment-matching gradients occasionally spike when the
+    annealer lands in a rare configuration, and a fraction of seeds then
+    flatline at the majority-class prediction (the reference shows the same
+    pathology in its AUC spread, e.g. the 0.6243±0.1289 band of
+    ``out/paper_data/QuCUN_Breast``).  Standard global-norm clipping bounds
+    the step without changing its direction."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(tree)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree.map(lambda l: l * scale, tree)
+
+
 class QBMModel(abc.ABC):
     """Protocol every qbmx model family satisfies (DiscQBM, CDQBM, and the
     RBM wrapper follow the same surface; see each class)."""

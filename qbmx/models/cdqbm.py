@@ -157,6 +157,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         pool_select: str = "min",
         center_fmap: bool = False,
         prob_penalty: float = PROB_POOL_PENALTY,
+        grad_clip: float = 0.0,
     ):
         """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
         by default = reference parity).  The exact-enumeration study
@@ -168,6 +169,9 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         ``prob_penalty`` exposes the probabilistic-pooling penalty strength
         the reference hardcodes at 0.8225 (``src/qubo/builder.py:26-27``);
         the exact study shows the default binds weakly.
+        ``grad_clip`` > 0 clips the moment-diff gradient's global L2 norm
+        (flag-gated stability extension, see
+        :func:`qbmx.models.base.clip_by_global_norm`; 0 = reference parity).
         """
         if pool_select not in ("min", "max", "absmax"):
             raise ValueError(f"unknown pool_select {pool_select!r}")
@@ -193,6 +197,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.pool_select = pool_select
         self.center_fmap = bool(center_fmap)
         self.prob_penalty = float(prob_penalty)
+        self.grad_clip = float(grad_clip)
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
 
@@ -428,6 +433,10 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             )
         if self.hidden_bias_type == "none":
             grad = dataclasses.replace(grad, b_conv=jnp.zeros_like(grad.b_conv))
+        if self.grad_clip > 0.0:
+            from qbmx.models.base import clip_by_global_norm
+
+            grad = clip_by_global_norm(grad, self.grad_clip)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
 
         # NLL from unclamped output marginals (``nll_from_probs_binary``,

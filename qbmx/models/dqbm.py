@@ -231,12 +231,17 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         sampler: Sampler | None = None,
         load_path: str = "",
         use_linear_shortcut: bool = False,
+        grad_clip: float = 0.0,
     ):
         """``use_linear_shortcut``: when the model is restricted, the clamped
         QUBO is diagonal and its ground state is closed-form — skip sampling
         that phase entirely (the reference's QPU path does this,
         ``solve_linear_qubo``, ``src/model/faster_dqbm.py:41-54, 660-663``;
-        its SA path still sampled).  Off by default for SA-path parity."""
+        its SA path still sampled).  Off by default for SA-path parity.
+
+        ``grad_clip``: >0 clips the moment-diff gradient's global L2 norm
+        (flag-gated stability extension, see
+        :func:`qbmx.models.base.clip_by_global_norm`; 0 = reference parity)."""
         self.dim_input = dim_input
         self.num_classes = num_classes
         self.n_hidden_nodes = n_hidden_nodes
@@ -248,6 +253,7 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         self.anneal_steps = anneal_steps
         self.beta_eff = float(beta_eff)
         self.seed = seed
+        self.grad_clip = float(grad_clip)
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal_steps)
 
@@ -271,6 +277,7 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         reads = self.sample_count
         restricted = self.restricted
         one_hot = self.use_one_hot_encoding
+        grad_clip = self.grad_clip
 
         linear_shortcut = self.use_linear_shortcut
         maybe_jit = jax.jit if _jit_safe(sampler) else (lambda f: f)
@@ -318,6 +325,10 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
             grad = _masked_mean(diff, mask)
             if restricted:
                 grad = dataclasses.replace(grad, w_hh=jnp.zeros_like(grad.w_hh))
+            if grad_clip > 0.0:
+                from qbmx.models.base import clip_by_global_norm
+
+                grad = clip_by_global_norm(grad, grad_clip)
             # gradient DESCENT on (clamped − unclamped), reference
             # ``src/model/faster_dqbm.py:1051-1059``
             new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)

@@ -396,3 +396,63 @@ class TestDeviceCacheKeys:
         xb1 = run_epoch()
         xb2 = run_epoch()
         assert not np.array_equal(xb1, xb2)  # second dataset actually used
+
+
+class TestGradClip:
+    """Flag-gated global-norm gradient clipping (OFF by default)."""
+
+    def _model(self, grad_clip, seed=3):
+        from qbmx.samplers.api import ExactSampler
+
+        return DiscQBM(dim_input=4, n_hidden_nodes=2, seed=seed, sample_count=64,
+                       restricted=False, sampler=ExactSampler(),
+                       grad_clip=grad_clip)
+
+    def test_huge_clip_is_identity(self, rng):
+        """A non-binding clip must not change the trajectory at all."""
+        import jax
+
+        x = rng.uniform(0, 1, (6, 4)).astype("float32")
+        y = (rng.uniform(size=6) < 0.5).astype("float32")
+        m0, m1 = self._model(0.0), self._model(1e9)
+        for _ in range(3):
+            m0.train_for_one_iteration(x, y, 0.2)
+            m1.train_for_one_iteration(x, y, 0.2)
+        for a, b in zip(jax.tree.leaves(m0.params), jax.tree.leaves(m1.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_clip_bounds_update_norm(self, rng):
+        import jax
+
+        x = rng.uniform(0, 1, (6, 4)).astype("float32")
+        y = (rng.uniform(size=6) < 0.5).astype("float32")
+        clip, lr = 0.01, 0.5
+        m = self._model(clip)
+        before = jax.tree.map(np.asarray, m.params)
+        m.train_for_one_iteration(x, y, lr)
+        sq = sum(
+            float(np.sum((np.asarray(a) - b) ** 2))
+            for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(before))
+        )
+        assert np.sqrt(sq) <= lr * clip * (1 + 1e-4)
+
+    def test_cdqbm_clip_bounds_update_norm(self, rng):
+        import jax
+
+        from qbmx.models.cdqbm import CDQBM
+        from qbmx.samplers.api import SASampler
+
+        x = rng.uniform(0, 1, (4, 4, 4)).astype("float32")
+        y = (rng.uniform(size=4) < 0.5).astype("float32")
+        clip, lr = 0.01, 0.5
+        m = CDQBM(image_shape=(4, 4), kernel_size=2, pooling_size=0,
+                  sequential_layer_sizes=[2], seed=0, sample_count=16,
+                  sampler=SASampler(num_sweeps=8, use_pallas=False),
+                  grad_clip=clip)
+        before = jax.tree.map(np.asarray, m.params)
+        m.train_for_one_iteration(x, y, lr)
+        sq = sum(
+            float(np.sum((np.asarray(a) - b) ** 2))
+            for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(before))
+        )
+        assert np.sqrt(sq) <= lr * clip * (1 + 1e-4)
