@@ -1,3 +1,4 @@
 from qbmx.train.loop import train_model
+from qbmx.train.sweep import SeedParallelDQBM
 
-__all__ = ["train_model"]
+__all__ = ["train_model", "SeedParallelDQBM"]

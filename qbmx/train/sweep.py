@@ -1,0 +1,251 @@
+"""Seed-parallel DQBM training: the whole multi-seed sweep as ONE device job.
+
+The reference's "test strategy" is 10-seed experiment sweeps
+(``rbm_main.py:32-33``, ``qbm_main.py:169-173``) run sequentially — one
+process per seed, each re-paying data prep and every dispatch.  On TPU the
+seed axis is just more width: model parameters are a pytree, so S
+independently-initialized models train simultaneously by
+
+  * ``vmap``-ing the pure QUBO builders over the stacked parameter axis
+    ((S, B, n, n) QUBOs per phase), and
+  * folding the seed axis into the SAMPLER's problem batch — one
+    ``sample_batch`` call over 2·S·B packed problems per step, which the
+    Pallas kernel's pack router already scales to (more packs, same
+    per-program shape).
+
+One epoch of all S models = one unrolled jitted launch; per-seed
+validation prediction is one more.  Against sequentially-launched seeds
+this removes (S−1)/S of the dispatch overhead — the dominant cost of flat
+QBM training through the axon tunnel (docs/PERFORMANCE.md §5).
+
+Statistical semantics are identical to S separate ``DiscQBM`` trainings
+(independent per-seed init streams, independent chains — asserted by
+``tests/test_sweep.py`` against the sequential path's metric band).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qbmx.models.dqbm import (
+    DQBMParams,
+    clamped_qubo_batch,
+    init_params,
+    nll_from_probs,
+    output_probs_from_samples,
+    unclamped_qubo_batch,
+)
+from qbmx.samplers.api import Sampler, get_sampler
+from qbmx.utils.metrics import History, get_metrics
+
+
+class SeedParallelDQBM:
+    """Train S flat Disc_QBMs (one per seed) as a single batched program.
+
+    Hyperparameters mirror :class:`qbmx.models.dqbm.DiscQBM`; every seed
+    gets its own U(-1,1) init drawn from its own PRNG stream (matching the
+    single-model path) and its own training-noise stream.
+    """
+
+    def __init__(
+        self,
+        seeds: Sequence[int],
+        dim_input: int,
+        num_classes: int = 2,
+        n_hidden_nodes: int = 4,
+        restricted: bool = False,
+        sample_count: int = 20,
+        anneal_steps: int = 20,
+        beta_eff: float = 1.0,
+        use_one_hot_encoding: bool = False,
+        solver: str = "SA",
+        sampler: Sampler | None = None,
+        grad_clip: float = 0.0,
+        epoch_segment: int = 8,
+    ):
+        self.seeds = [int(s) for s in seeds]
+        self.S = len(self.seeds)
+        self.n_output_nodes = num_classes if use_one_hot_encoding else 1
+        self.use_one_hot_encoding = use_one_hot_encoding
+        self.restricted = restricted
+        self.sample_count = sample_count
+        self.beta_eff = float(beta_eff)
+        self.grad_clip = float(grad_clip)
+        self.epoch_segment = int(epoch_segment)
+        self.sampler = sampler if sampler is not None else get_sampler(
+            solver, num_sweeps=anneal_steps)
+
+        # per-seed init streams identical to DiscQBM.__init__
+        init_keys, run_keys = [], []
+        for s in self.seeds:
+            k = jax.random.key(s)
+            k, ik = jax.random.split(k)
+            init_keys.append(ik)
+            run_keys.append(k)
+        self.params = jax.vmap(
+            lambda k: init_params(k, dim_input, n_hidden_nodes,
+                                  self.n_output_nodes, restricted)
+        )(jnp.stack(init_keys))
+        self.keys = jnp.stack(run_keys)  # (S,) per-seed training streams
+
+        self._step = self._build_step()
+        self._predict = self._build_predict()
+        self._epoch_cache: dict[int, callable] = {}
+
+    # -- batched computations ------------------------------------------------
+
+    def _y_vec(self, y):
+        if self.use_one_hot_encoding:
+            return jax.nn.one_hot(y.astype(jnp.int32), self.n_output_nodes)
+        return y.astype(jnp.float32)[:, None]
+
+    def _build_step(self):
+        sampler = self.sampler
+        n_out = self.n_output_nodes
+        beta_eff = self.beta_eff
+        reads = self.sample_count
+        restricted = self.restricted
+        one_hot = self.use_one_hot_encoding
+        grad_clip = self.grad_clip
+        S = self.S
+
+        from qbmx.models.dqbm import _masked_mean, clamped_moments, unclamped_moments
+
+        def step(params, x, y, mask, lr, keys):
+            """params: (S, …) stacked pytree; x/y/mask shared across seeds."""
+            y_vec = self._y_vec(y)
+            B = x.shape[0]
+            H = params.b_h.shape[-1]
+
+            Qc = jax.vmap(lambda p: clamped_qubo_batch(p, x, y_vec, beta_eff))(params)
+            Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
+            n_u = Qu.shape[-1]
+            # fuse phases AND seeds into one sampler batch (2·S·B problems)
+            Qc_pad = jnp.zeros((S, B, n_u, n_u), Qc.dtype).at[:, :, :H, :H].set(Qc)
+            Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, n_u, n_u)
+            s_all = sampler.sample_batch(keys[0], Q_all, reads)
+            s_all = s_all.reshape(S, 2 * B, reads, n_u)
+            s_c = s_all[:, :B, :, :H]
+            s_u = s_all[:, B:]
+
+            def per_seed(p, sc, su):
+                mc = clamped_moments(sc, x, y_vec)
+                mu = unclamped_moments(su, x, n_out)
+                grad = _masked_mean(jax.tree.map(lambda a, b: a - b, mc, mu), mask)
+                if restricted:
+                    grad = dataclasses.replace(grad, w_hh=jnp.zeros_like(grad.w_hh))
+                if grad_clip > 0.0:
+                    from qbmx.models.base import clip_by_global_norm
+
+                    grad = clip_by_global_norm(grad, grad_clip)
+                new_p = jax.tree.map(lambda a, g: a - lr * g, p, grad)
+                probs = output_probs_from_samples(su, n_out, one_hot)
+                return new_p, nll_from_probs(probs, y, mask)
+
+            return jax.vmap(per_seed)(params, s_c, s_u)
+
+        return step
+
+    def _build_predict(self):
+        sampler = self.sampler
+        n_out = self.n_output_nodes
+        beta_eff = self.beta_eff
+        reads = self.sample_count
+        one_hot = self.use_one_hot_encoding
+        S = self.S
+
+        @jax.jit
+        def predict(params, x, key):
+            Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
+            B = x.shape[0]
+            n_u = Qu.shape[-1]
+            s_u = sampler.sample_batch(key, Qu.reshape(S * B, n_u, n_u), reads)
+            s_u = s_u.reshape(S, B, reads, n_u)
+            marg = s_u[:, :, :, :n_out].mean(axis=2)  # (S, B, n_out)
+            probs = jax.vmap(lambda s: output_probs_from_samples(s, n_out, one_hot))(s_u)
+            return marg, probs
+
+        return predict
+
+    def _build_epoch(self, nb: int):
+        step = self._step
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, keys):
+            nlls = []
+            for i in range(nb):  # static unroll (pallas-in-scan hangs AOT)
+                ks = jax.vmap(jax.random.split)(keys)  # (S, 2)
+                keys, sub = ks[:, 0], ks[:, 1]
+                params, nll = step(params, xb[i], yb[i], maskb[i], lr, sub)
+                nlls.append(nll)
+            return params, keys, jnp.stack(nlls, axis=1)  # (S, nb)
+
+        return epoch
+
+    # -- driver ----------------------------------------------------------------
+
+    def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
+              batch_size: int = 8, learning_rate: float = 0.005,
+              class_titles=("0", "1"), verbose: bool = True) -> list[History]:
+        """Returns one reference-style ``History`` per seed."""
+        x = np.asarray(train_X, dtype="float32")
+        yh = np.asarray(train_Y)
+        n = len(x)
+        nb = -(-n // batch_size)
+        pad = nb * batch_size - n
+        mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+        xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+        yp = np.concatenate([yh, np.zeros((pad,) + yh.shape[1:], yh.dtype)]) if pad else yh
+        xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
+        yb = jnp.asarray(yp.reshape(nb, batch_size))
+        maskb = jnp.asarray(mask.reshape(nb, batch_size))
+        xv = jnp.asarray(val_X, jnp.float32) if val_X is not None else None
+
+        histories = [History() for _ in range(self.S)]
+        K = self.epoch_segment
+        for epoch_i in range(1, epochs + 1):
+            nll_parts = []
+            for s0 in range(0, nb, K):
+                seg = min(K, nb - s0)
+                if seg not in self._epoch_cache:
+                    self._epoch_cache[seg] = self._build_epoch(seg)
+                self.params, self.keys, nlls = self._epoch_cache[seg](
+                    self.params, xb[s0 : s0 + seg], yb[s0 : s0 + seg],
+                    maskb[s0 : s0 + seg], learning_rate, self.keys,
+                )
+                nll_parts.append(np.asarray(nlls))
+            nlls = np.concatenate(nll_parts, axis=1)  # (S, nb)
+            for s in range(self.S):
+                histories[s].nll_per_batch.extend(float(v) for v in nlls[s])
+                histories[s].nll_per_epoch.append(float(nlls[s].sum()) / nb)
+                histories[s].errors_per_batch.extend(0.0 for _ in range(nb))
+                histories[s].error_per_epoch.append(0.0)
+
+            if xv is not None:
+                self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+                marg, _ = self._predict(self.params, xv, self.keys[0])
+                marg = np.asarray(marg)
+                for s in range(self.S):
+                    if self.use_one_hot_encoding:
+                        preds = np.argmax(marg[s], axis=1)
+                    else:
+                        preds = np.round(marg[s][:, 0]).astype(int)
+                    acc, _, _, _, auc = get_metrics(val_Y, preds, list(class_titles))
+                    histories[s].acc_per_epoch.append(acc)
+                    histories[s].auc_per_epoch.append(auc)
+                    histories[s].combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+                if verbose:
+                    accs = [h.acc_per_epoch[-1] for h in histories]
+                    print(f"Epoch {epoch_i}/{epochs}  "
+                          f"val_acc mean {np.mean(accs):.4f} "
+                          f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
+        return histories
+
+    def params_for_seed(self, s: int) -> DQBMParams:
+        """Slice seed ``s``'s parameters out of the stacked pytree."""
+        return jax.tree.map(lambda a: a[s], self.params)

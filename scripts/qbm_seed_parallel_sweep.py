@@ -1,0 +1,61 @@
+"""10-seed breastmnist Disc_QBM sweep as ONE seed-parallel device job.
+
+Same configuration as the sequential parity sweep
+(``out/parity/qbm_sa_sweep_r2.log``: h5, sc1000, 1000 sweeps, bs60,
+lr0.307, e20, the reference's 10 seeds) but trained via
+``qbmx.train.sweep.SeedParallelDQBM``: all 10 models' QUBOs build under one
+vmap and anneal in one packed sampler batch per step, so the whole sweep
+pays ONE set of epoch dispatches instead of ten.
+
+Usage: python scripts/qbm_seed_parallel_sweep.py   (TPU)
+Writes: out/parity/qbm_sa_sweep_seedparallel.log (via tee by the caller,
+or just stdout) — compare mean±std against PARITY.md §1.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from qbmx.cli._common import load_dataset
+from qbmx.cli.rbm_main import DEFAULT_SEEDS
+from qbmx.data import loaders
+from qbmx.train.loop import get_best_combined_acc_auc
+from qbmx.train.sweep import SeedParallelDQBM
+
+
+def main():
+    t_all = time.time()
+    (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
+    train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
+
+    sweep = SeedParallelDQBM(
+        DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=5,
+        restricted=False, sample_count=1000, anneal_steps=1000,
+        epoch_segment=16,
+    )
+    t0 = time.time()
+    hists = sweep.train(train_X, train_y, test_X, test_y, epochs=20,
+                        batch_size=60, learning_rate=0.307, verbose=True)
+    t_train = time.time() - t0
+
+    accs, aucs = [], []
+    for seed, h in zip(DEFAULT_SEEDS, hists):
+        _, acc, auc, _ = get_best_combined_acc_auc(h)
+        accs.append(acc)
+        aucs.append(auc)
+        print(f"seed {seed}: best acc {acc:.4f} auc {auc:.4f}")
+    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
+          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
+    print(f"TIME {t_train:.1f}s train for ALL 10 seeds "
+          f"({t_train / len(DEFAULT_SEEDS):.2f}s/seed), "
+          f"{time.time() - t_all:.1f}s total incl. data + compile")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Seed-parallel DQBM sweep: one batched program ≡ S sequential trainings
+(statistically), shapes/slices correct, ragged tails masked."""
+
+import jax
+import numpy as np
+import pytest
+
+from qbmx.models.dqbm import DiscQBM
+from qbmx.samplers.api import ExactSampler, SASampler
+from qbmx.train.loop import get_best_combined_acc_auc, train_model
+from qbmx.train.sweep import SeedParallelDQBM
+
+
+def two_cluster_data(rng, n=96, D=6):
+    base = rng.uniform(0, 1, (2, D))
+    y = rng.integers(0, 2, n)
+    x = np.clip(0.75 * base[y] + 0.25 * rng.uniform(0, 1, (n, D)), 0, 1)
+    return x.astype("float32"), y.astype("float32")
+
+
+class TestSeedParallel:
+    def test_per_seed_init_matches_single_model(self):
+        """Stacked params row s must equal DiscQBM(seed=s).params exactly."""
+        seeds = [3, 17]
+        sweep = SeedParallelDQBM(seeds, dim_input=5, n_hidden_nodes=3,
+                                 restricted=False, sample_count=8,
+                                 sampler=SASampler(num_sweeps=4, use_pallas=False))
+        for i, s in enumerate(seeds):
+            single = DiscQBM(dim_input=5, n_hidden_nodes=3, seed=s, sample_count=8,
+                             restricted=False,
+                             sampler=SASampler(num_sweeps=4, use_pallas=False))
+            for a, b in zip(jax.tree.leaves(sweep.params_for_seed(i)),
+                            jax.tree.leaves(single.params)):
+                assert np.allclose(np.asarray(a), np.asarray(b)), (i, s)
+
+    def test_sweep_learns_all_seeds(self, rng):
+        x, y = two_cluster_data(rng)
+        sweep = SeedParallelDQBM([0, 1, 2], dim_input=6, n_hidden_nodes=3,
+                                 sample_count=256, sampler=ExactSampler())
+        hist = sweep.train(x, y, x, y, epochs=8, batch_size=24,
+                           learning_rate=0.3, verbose=False)
+        assert len(hist) == 3
+        for h in hist:
+            _, acc, _, _ = get_best_combined_acc_auc(h)
+            assert acc > 0.8, [hh.acc_per_epoch for hh in hist]
+
+    def test_matches_sequential_band(self, rng):
+        """Batched sweep's mean best-acc must land in the sequential path's
+        band on the same task (same seeds, same hypers, exact sampler)."""
+        x, y = two_cluster_data(rng, n=72)
+        seeds = [5, 6]
+        kw = dict(dim_input=6, n_hidden_nodes=3, sample_count=256)
+        sweep = SeedParallelDQBM(seeds, **kw, sampler=ExactSampler())
+        hs = sweep.train(x, y, x, y, epochs=6, batch_size=24,
+                         learning_rate=0.3, verbose=False)
+        batched = np.mean([max(h.acc_per_epoch) for h in hs])
+
+        seq = []
+        for s in seeds:
+            m = DiscQBM(seed=s, **kw, sampler=ExactSampler())
+            h = train_model(m, x, y, x, y, batch_size=24, learning_rate=0.3,
+                            epochs=6, verbose=False)
+            seq.append(max(h.acc_per_epoch))
+        assert abs(batched - np.mean(seq)) < 0.12, (batched, seq)
+
+    def test_ragged_tail_and_segments(self, rng):
+        """n not divisible by batch_size + epoch segmentation still runs and
+        produces per-batch NLLs for ceil(n/bs) batches."""
+        x, y = two_cluster_data(rng, n=50)
+        sweep = SeedParallelDQBM([0, 1], dim_input=6, n_hidden_nodes=2,
+                                 sample_count=32, epoch_segment=2,
+                                 sampler=SASampler(num_sweeps=4, use_pallas=False))
+        hist = sweep.train(x, y, epochs=1, batch_size=16, learning_rate=0.1,
+                           verbose=False)
+        assert len(hist[0].nll_per_batch) == 4  # ceil(50/16)
+        assert np.all(np.isfinite(hist[0].nll_per_batch))
+
+    def test_one_hot_multiclass(self, rng):
+        x = rng.uniform(0, 1, (30, 4)).astype("float32")
+        y = rng.integers(0, 3, 30).astype("int32")
+        sweep = SeedParallelDQBM([0, 1], dim_input=4, num_classes=3,
+                                 n_hidden_nodes=2, use_one_hot_encoding=True,
+                                 sample_count=32,
+                                 sampler=SASampler(num_sweeps=4, use_pallas=False))
+        hist = sweep.train(x, y, x, y, epochs=1, batch_size=10,
+                           learning_rate=0.1, class_titles=("0", "1", "2"),
+                           verbose=False)
+        assert len(hist) == 2 and len(hist[0].acc_per_epoch) == 1
