@@ -67,7 +67,15 @@ class SeedParallelDQBM:
         sampler: Sampler | None = None,
         grad_clip: float = 0.0,
         epoch_segment: int = 8,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``"dp"`` axis —
+        the stacked seed axis is sharded over it (seeds are embarrassingly
+        parallel: zero cross-chip traffic; XLA partitions the whole epoch
+        program from the parameter sharding alone).  ``len(seeds)`` must be
+        divisible by the dp size.  This is the multi-chip scale-out story
+        for sweeps: S seeds over D chips cost one seed's dispatches and
+        S/D seeds' compute per chip."""
         self.seeds = [int(s) for s in seeds]
         self.S = len(self.seeds)
         self.n_output_nodes = num_classes if use_one_hot_encoding else 1
@@ -92,6 +100,17 @@ class SeedParallelDQBM:
                                   self.n_output_nodes, restricted)
         )(jnp.stack(init_keys))
         self.keys = jnp.stack(run_keys)  # (S,) per-seed training streams
+
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            if self.S % dp:
+                raise ValueError(f"{self.S} seeds not divisible by dp={dp}")
+            sharding = NamedSharding(mesh, P("dp"))
+            self.params = jax.device_put(self.params, sharding)
+            self.keys = jax.device_put(self.keys, sharding)
 
         self._step = self._build_step()
         self._predict = self._build_predict()

@@ -86,3 +86,41 @@ class TestSeedParallel:
                            learning_rate=0.1, class_titles=("0", "1", "2"),
                            verbose=False)
         assert len(hist) == 2 and len(hist[0].acc_per_epoch) == 1
+
+
+class TestSeedShardedMesh:
+    def test_seed_axis_shards_over_dp_mesh(self, rng):
+        """Seed-sharded sweep on an 8-device CPU mesh reproduces the
+        unsharded run (seeds are embarrassingly parallel — GSPMD partitions
+        from the parameter sharding alone, no collectives)."""
+        from qbmx.parallel.mesh import make_mesh
+
+        x, y = two_cluster_data(rng, n=48)
+        seeds = list(range(8))
+        kw = dict(dim_input=6, n_hidden_nodes=3, sample_count=32,
+                  sampler=SASampler(num_sweeps=8, use_pallas=False))
+        mesh = make_mesh(dp=8, chains=1)
+        sharded = SeedParallelDQBM(seeds, **kw, mesh=mesh)
+        plain = SeedParallelDQBM(seeds, **kw)
+
+        hs = sharded.train(x, y, x, y, epochs=2, batch_size=16,
+                           learning_rate=0.2, verbose=False)
+        hp = plain.train(x, y, x, y, epochs=2, batch_size=16,
+                         learning_rate=0.2, verbose=False)
+        # same PRNG streams → same trajectories (up to reduction order)
+        for a, b in zip(jax.tree.leaves(sharded.params),
+                        jax.tree.leaves(plain.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        for s in range(8):
+            assert hs[s].acc_per_epoch == pytest.approx(hp[s].acc_per_epoch)
+        # the stacked parameters really live distributed over the mesh
+        leaf = jax.tree.leaves(sharded.params)[0]
+        assert len({d for sh in leaf.addressable_shards for d in [sh.device]}) == 8
+
+    def test_mesh_requires_divisible_seed_count(self):
+        from qbmx.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="divisible"):
+            SeedParallelDQBM([0, 1, 2], dim_input=4, n_hidden_nodes=2,
+                             sampler=SASampler(num_sweeps=2, use_pallas=False),
+                             mesh=make_mesh(dp=2, chains=1))
