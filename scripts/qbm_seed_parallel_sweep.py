@@ -30,6 +30,13 @@ from qbmx.train.sweep import SeedParallelDQBM
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad_clip", type=float, default=0.0)
+    ap.add_argument("--epochs", type=int, default=20)
+    args = ap.parse_args()
+
     t_all = time.time()
     (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
     train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
@@ -37,10 +44,10 @@ def main():
     sweep = SeedParallelDQBM(
         DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=5,
         restricted=False, sample_count=1000, anneal_steps=1000,
-        epoch_segment=16,
+        epoch_segment=16, grad_clip=args.grad_clip,
     )
     t0 = time.time()
-    hists = sweep.train(train_X, train_y, test_X, test_y, epochs=20,
+    hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.epochs,
                         batch_size=60, learning_rate=0.307, verbose=True)
     t_train = time.time() - t0
 
