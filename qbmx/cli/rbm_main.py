@@ -39,6 +39,12 @@ def build_parser():
     p.add_argument("--seeds", type=int, nargs="*", default=None,
                    help="Seed list (default: the reference's 10 seeds)")
     p.add_argument("--out", type=str, default="out/rbm")
+    p.add_argument("--seed_parallel", action="store_true",
+                   help="Train ALL seeds as one batched device sweep "
+                        "(qbmx.train.sweep.SeedParallelRBM): a single "
+                        "dispatch for the whole seeds x epochs experiment. "
+                        "Data is loaded once (per-seed loads only differ "
+                        "when --data_set subsampling/balancing is seeded).")
     return p
 
 
@@ -47,6 +53,9 @@ def main(args=None):
     seeds = args.seeds if args.seeds else DEFAULT_SEEDS
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+
+    if args.seed_parallel:
+        return _main_seed_parallel(args, seeds, out)
 
     results = []
     for seed in seeds:
@@ -77,6 +86,38 @@ def main(args=None):
         results.append(best)
         print(f"seed {seed}: best epoch acc {best:.4f}")
 
+    print(f"mean best-epoch acc over {len(seeds)} seeds: {np.mean(results):.4f}")
+    return results
+
+
+def _main_seed_parallel(args, seeds, out: Path):
+    from qbmx.train.sweep import SeedParallelRBM
+
+    print("Loading data...")
+    (train_X, train_y), (val_X, val_y), (test_X, test_y) = load_dataset(
+        args.data_set, seed=seeds[0]
+    )
+    train_X, val_X, test_X = loaders.preprocess_images(train_X, val_X, test_X)
+    print("Data loaded. Train shape:", train_X.shape)
+
+    sweep = SeedParallelRBM(
+        seeds, num_visible=train_X.shape[1], num_hidden=args.hidden_units,
+        num_classes=2, k=args.cd_k, learning_rate=args.lr, method=args.type,
+        sparse_constant=args.sparsity_coeffectient,
+        generative_factor=args.generative_factor,
+    )
+    acc_lists, auc_lists = sweep.sweep(
+        train_X, train_y, test_X, test_y, epochs=args.epochs,
+        batch_size=args.batch_size,
+    )
+    results = []
+    for seed, accs, aucs in zip(seeds, acc_lists, auc_lists):
+        with open(out / f"acc_per_epoch{seed}.pkl", "wb") as f:
+            pickle.dump(accs, f)
+        with open(out / f"auc_per_epoch{seed}.pkl", "wb") as f:
+            pickle.dump(aucs, f)
+        results.append(max(accs))
+        print(f"seed {seed}: best epoch acc {max(accs):.4f}")
     print(f"mean best-epoch acc over {len(seeds)} seeds: {np.mean(results):.4f}")
     return results
 

@@ -268,3 +268,119 @@ class SeedParallelDQBM:
     def params_for_seed(self, s: int) -> DQBMParams:
         """Slice seed ``s``'s parameters out of the stacked pytree."""
         return jax.tree.map(lambda a: a[s], self.params)
+
+
+class SeedParallelRBM:
+    """The RBM counterpart: the ENTIRE multi-seed sweep is one device call.
+
+    The RBM's training step is scan-safe (pure XLA, no Pallas), so unlike
+    :class:`SeedParallelDQBM` nothing stops nesting: batches scan inside an
+    epoch, epochs scan inside the sweep, seeds vmap over everything, and
+    the host fetches one (E, S, n_test, C) probability tensor at the end —
+    a 10-seed × 20-epoch experiment in a single dispatch, vs the
+    reference's 10 sequential processes (``rbm_main.py:36-82``).
+
+    Per-seed init and shuffle streams match ``ClassificationRBM`` (same
+    ``jax.random.key(seed)`` derivation).  Deviation: the ragged tail batch
+    is dropped rather than trained (the single-model path trains it); with
+    per-epoch reshuffling the dropped examples vary, and the parity config
+    (breastmnist, bs=7, 546 train) has no tail at all.
+    """
+
+    def __init__(
+        self,
+        seeds: Sequence[int],
+        num_visible: int,
+        num_hidden: int,
+        num_classes: int = 2,
+        k: int = 1,
+        learning_rate: float = 0.05,
+        method: str = "discriminative",
+        sparse_constant: float = 0.0,
+        generative_factor: float = 0.0,
+    ):
+        from qbmx.models.rbm import init_params as rbm_init
+        from qbmx.models.rbm import make_train_step
+
+        if method == "pcd":
+            raise ValueError("pcd carries host-side chain state; use "
+                             "ClassificationRBM per seed")
+        self.seeds = [int(s) for s in seeds]
+        self.S = len(self.seeds)
+        self.num_classes = num_classes
+        self.learning_rate = float(learning_rate)
+        init_keys, run_keys = [], []
+        for s in self.seeds:
+            key = jax.random.key(s)
+            key, ik = jax.random.split(key)
+            init_keys.append(ik)
+            run_keys.append(key)
+        self.params = jax.vmap(
+            lambda ik: rbm_init(ik, num_visible, num_hidden, num_classes)
+        )(jnp.stack(init_keys))
+        self.keys = jnp.stack(run_keys)
+        self._step = make_train_step(num_classes, method=method, cd_k=k,
+                                     sparse_constant=sparse_constant,
+                                     generative_factor=generative_factor)
+        self._sweep_fn = None
+
+    def _build_sweep(self, n: int, nb: int, bs: int, epochs: int, shuffle: bool):
+        from qbmx.models.rbm import predict_proba
+
+        step = self._step
+
+        @jax.jit
+        def run(params, keys, x, y, test_x, lr):
+            def per_seed_epoch(p, key):
+                key, kp, ke = jax.random.split(key, 3)
+                order = (jax.random.permutation(kp, n) if shuffle
+                         else jnp.arange(n))
+                xb = x[order][: nb * bs].reshape(nb, bs, -1)
+                yb = y[order][: nb * bs].reshape(nb, bs)
+
+                def bstep(carry, xy):
+                    p, k = carry
+                    k, kk = jax.random.split(k)
+                    p, loss = step(p, kk, xy[0], xy[1], lr)
+                    return (p, k), loss
+
+                (p, _), losses = jax.lax.scan(bstep, (p, ke), (xb, yb))
+                return p, key, losses.mean()
+
+            def epoch_body(carry, _):
+                params, keys = carry
+                params, keys, loss = jax.vmap(per_seed_epoch)(params, keys)
+                probs = jax.vmap(lambda p: predict_proba(p, test_x))(params)
+                return (params, keys), (probs, loss)
+
+            (params, keys), (probs, losses) = jax.lax.scan(
+                epoch_body, (params, keys), None, length=epochs)
+            return params, keys, probs, losses  # probs: (E, S, n_test, C)
+
+        return run
+
+    def sweep(self, train_x, train_y, test_x, test_y, epochs: int,
+              batch_size: int, shuffle: bool = True):
+        """Returns (acc_lists, auc_lists): per-seed per-epoch metrics,
+        each a list of S lists of E floats (reference rbm_main pickles)."""
+        from qbmx.utils.metrics import accuracy_and_auc
+
+        x = jnp.asarray(train_x, jnp.float32)
+        y = jnp.asarray(np.asarray(train_y))
+        n = x.shape[0]
+        nb = n // batch_size
+        run = self._build_sweep(n, nb, batch_size, epochs, shuffle)
+        self.params, self.keys, probs, _ = run(
+            self.params, self.keys, x, y, jnp.asarray(test_x, jnp.float32),
+            self.learning_rate)
+        probs = np.asarray(probs)  # ONE fetch for the whole sweep
+        ty = np.asarray(test_y)
+        acc_lists = [[] for _ in range(self.S)]
+        auc_lists = [[] for _ in range(self.S)]
+        for e in range(epochs):
+            for s in range(self.S):
+                preds = np.argmax(probs[e, s], axis=-1)
+                acc, auc = accuracy_and_auc(ty, preds)
+                acc_lists[s].append(acc)
+                auc_lists[s].append(auc)
+        return acc_lists, auc_lists

@@ -124,3 +124,53 @@ class TestSeedShardedMesh:
             SeedParallelDQBM([0, 1, 2], dim_input=4, n_hidden_nodes=2,
                              sampler=SASampler(num_sweeps=2, use_pallas=False),
                              mesh=make_mesh(dp=2, chains=1))
+
+
+class TestSeedParallelRBM:
+    def test_whole_sweep_single_dispatch_learns(self, rng):
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=120)
+        x = (x > 0.5).astype("float32")
+        sweep = SeedParallelRBM([0, 1, 2], num_visible=6, num_hidden=6,
+                                learning_rate=0.3)
+        accs, aucs = sweep.sweep(x, y, x, y, epochs=10, batch_size=12)
+        assert len(accs) == 3 and len(accs[0]) == 10
+        for per_seed in accs:
+            assert max(per_seed) > 0.85, accs
+
+    def test_matches_classification_rbm_band(self, rng):
+        """Same seeds/hypers: the batched sweep's accuracies must track the
+        per-seed ClassificationRBM trainings."""
+        from qbmx.models.rbm import ClassificationRBM
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=96)
+        x = (x > 0.5).astype("float32")
+        seeds = [7, 8, 9, 10]
+        sweep = SeedParallelRBM(seeds, num_visible=6, num_hidden=5,
+                                learning_rate=0.25)
+        accs, _ = sweep.sweep(x, y, x, y, epochs=15, batch_size=12)
+        batched = np.mean([max(a) for a in accs])
+        seq = []
+        for s in seeds:
+            rbm = ClassificationRBM(num_visible=6, num_hidden=5, seed=s,
+                                    learning_rate=0.25)
+            rbm.train_rbm(x, y, epochs=15, batch_size=12, test_x=x, test_y=y)
+            seq.append(max(rbm.acc_per_epoch_list))
+        # key-consumption order differs → different shuffles; compare means
+        # over enough seeds/epochs that both estimates are past the
+        # early-training bimodality of this toy task
+        assert abs(batched - np.mean(seq)) < 0.15, (batched, seq)
+
+    def test_generative_mode_and_pcd_rejection(self, rng):
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=48)
+        x = (x > 0.5).astype("float32")
+        sweep = SeedParallelRBM([0, 1], num_visible=6, num_hidden=4,
+                                learning_rate=0.2, method="generative", k=1)
+        accs, _ = sweep.sweep(x, y, x, y, epochs=2, batch_size=12)
+        assert len(accs[0]) == 2
+        with pytest.raises(ValueError, match="pcd"):
+            SeedParallelRBM([0], num_visible=6, num_hidden=4, method="pcd")
