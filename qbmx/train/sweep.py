@@ -309,16 +309,27 @@ class SeedParallelRBM:
         self.S = len(self.seeds)
         self.num_classes = num_classes
         self.learning_rate = float(learning_rate)
-        init_keys, run_keys = [], []
-        for s in self.seeds:
-            key = jax.random.key(s)
-            key, ik = jax.random.split(key)
-            init_keys.append(ik)
-            run_keys.append(key)
-        self.params = jax.vmap(
-            lambda ik: rbm_init(ik, num_visible, num_hidden, num_classes)
-        )(jnp.stack(init_keys))
-        self.keys = jnp.stack(run_keys)
+        # Derive keys and init params on the CPU backend: threefry is
+        # device-independent (identical bits), and the remote AOT compile a
+        # TPU-side init would pay dwarfs the device work by ~1000x.
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            init_keys, run_keys = [], []
+            for s in self.seeds:
+                key = jax.random.key(s)
+                key, ik = jax.random.split(key)
+                init_keys.append(ik)
+                run_keys.append(key)
+            params = jax.vmap(
+                lambda ik: rbm_init(ik, num_visible, num_hidden, num_classes)
+            )(jnp.stack(init_keys))
+            keys = jnp.stack(run_keys)
+        dev = jax.devices()[0]
+        self.params = jax.device_put(params, dev)
+        self.keys = jax.device_put(keys, dev)
         self._step = make_train_step(num_classes, method=method, cd_k=k,
                                      sparse_constant=sparse_constant,
                                      generative_factor=generative_factor)
