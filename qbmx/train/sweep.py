@@ -88,18 +88,28 @@ class SeedParallelDQBM:
         self.sampler = sampler if sampler is not None else get_sampler(
             solver, num_sweeps=anneal_steps)
 
-        # per-seed init streams identical to DiscQBM.__init__
-        init_keys, run_keys = [], []
-        for s in self.seeds:
-            k = jax.random.key(s)
-            k, ik = jax.random.split(k)
-            init_keys.append(ik)
-            run_keys.append(k)
-        self.params = jax.vmap(
-            lambda k: init_params(k, dim_input, n_hidden_nodes,
-                                  self.n_output_nodes, restricted)
-        )(jnp.stack(init_keys))
-        self.keys = jnp.stack(run_keys)  # (S,) per-seed training streams
+        # per-seed init streams identical to DiscQBM.__init__ — derived on
+        # the CPU backend (threefry bits are device-independent; a TPU-side
+        # init would pay a remote AOT compile for microseconds of work)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            init_keys, run_keys = [], []
+            for s in self.seeds:
+                k = jax.random.key(s)
+                k, ik = jax.random.split(k)
+                init_keys.append(ik)
+                run_keys.append(k)
+            params = jax.vmap(
+                lambda k: init_params(k, dim_input, n_hidden_nodes,
+                                      self.n_output_nodes, restricted)
+            )(jnp.stack(init_keys))
+            keys = jnp.stack(run_keys)  # (S,) per-seed training streams
+        dev = jax.devices()[0]
+        self.params = jax.device_put(params, dev)
+        self.keys = jax.device_put(keys, dev)
 
         self.mesh = mesh
         if mesh is not None:
