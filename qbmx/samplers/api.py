@@ -88,14 +88,23 @@ class SASampler:
             return False
         if platform not in ("tpu",):
             return False
-        # Auto-route on a VMEM budget: couplings tile + state + per-sweep
-        # uniforms of the CHOSEN pack geometry must fit (measured on v5e the
-        # kernel beats the XLA sampler 2-5x whenever it fits).
+        # Large batches with few reads belong to the XLA sampler: its
+        # batched-matvec VPU path does only USEFUL work and saturates with
+        # batch, while the packed kernel pays a 1/P useful-flop ratio per
+        # pack and runs packs sequentially.  Measured on v5e (1000-sweep
+        # equiv): B=600 n=41 R=100 xla 2.2x faster (192 vs 420 us/sweep);
+        # B=1200 n=6 R=128 xla 1.4x (49 vs 71 ms).  With many reads the
+        # kernel's per-read cost is ~flat while xla's is linear in R, so
+        # Pallas keeps those (B=1200 n=6 R=1000: pallas 4x faster).
+        B = int(Q.shape[0])
+        if num_reads <= 128 and B >= 256:
+            return False
+        # Otherwise route on a VMEM budget: couplings tile + state + per-
+        # sweep uniforms of the CHOSEN pack geometry must fit (measured on
+        # v5e the kernel beats the XLA sampler 2-5x whenever it fits).
         from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
 
-        stride, P, N = pack_geometry(
-            int(Q.shape[-1]), batch=int(Q.shape[0]), reads=num_reads
-        )
+        stride, P, N = pack_geometry(int(Q.shape[-1]), batch=B, reads=num_reads)
         R = -(-num_reads // 128) * 128
         vmem = 4 * (N * N + 2 * N * R)
         return vmem <= _VMEM_BUDGET

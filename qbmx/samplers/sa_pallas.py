@@ -60,6 +60,12 @@ def _pow2_ceil(x: int) -> int:
 # 49.3→18.5 ms from P=8→64 (25M) while R=1024 prefers P=16 (12.6M; P=32 at
 # 50M regresses 61→80 ms); n=6 B=120 R=1024 prefers P=32 (8.4M; P=64 at 33M
 # regresses 7.6→9.9 ms); n=130 B=8 runs 111→21 ms from P=1→8.
+#
+# The knee is BATCH-dependent: past it the extra per-substep work stops
+# paying only when the batch can't fill the bigger packs.  With packs to
+# spare (B ≥ 8·P) up to 2× the knee still wins: n=6 B=1200 R=1024 runs
+# 66.5→60.1 ms from P=32→64 (33.6M), while B=120 at the same shape
+# regresses (7.6→9.9 ms) — hence the B ≥ 8·P gate on the relaxed budget.
 _MXU_WORK_BUDGET = 26_000_000
 _VMEM_BUDGET = 48 * 2**20
 
@@ -82,9 +88,15 @@ def pack_geometry(n: int, batch: int | None = None,
         if P > _pow2_ceil(B):
             break
         N = _round_up(stride * P, 128)
-        if P * N * Rr > _MXU_WORK_BUDGET:
+        work_cap = 2 * _MXU_WORK_BUDGET if B >= 8 * P else _MXU_WORK_BUDGET
+        if P * N * Rr > work_cap:
             break
-        if 4 * (N * N + 2 * N * Rr) > _VMEM_BUDGET:
+        # multi-pack grids double-buffer the (N, N) couplings block across
+        # programs; a single pack keeps one copy resident.  Counting that
+        # prevents a compile-time scoped-VMEM OOM at e.g. n=41 B=600 R=100
+        # (P=64 → N=3072: 2×37.7 MB of J alone; P=32 measured equal anyway)
+        jbufs = 2 if B > P else 1
+        if 4 * (jbufs * N * N + 2 * N * Rr) > _VMEM_BUDGET:
             break
         P_best, N_best = P, N
     return stride, P_best, N_best

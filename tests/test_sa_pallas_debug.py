@@ -86,6 +86,36 @@ def test_pack_geometry_strategies():
     assert pack_geometry(20, batch=8, reads=8)[1] == 8            # block P=8
     assert pack_geometry(41, batch=1, reads=4)[1] == 1
     assert pack_geometry(130, batch=1, reads=4)[1] == 1
+    # batch-aware refinements (measured on v5e, see routing constants):
+    # multi-pack grids double-buffer J — P=64's N=3072 tile must drop to
+    # P=32 when B > P (compile-time scoped-VMEM OOM otherwise) ...
+    assert pack_geometry(41, batch=60, reads=100)[1] == 64   # single pack
+    assert pack_geometry(41, batch=600, reads=100)[1] == 32  # multi-pack
+    # ... and with packs to spare (B >= 8P) up to 2x the MXU-work knee wins
+    assert pack_geometry(5, batch=120, reads=1000)[1] == 32
+    assert pack_geometry(5, batch=1200, reads=1000)[1] == 64
+
+
+def test_sa_auto_routing_prefers_xla_for_large_batch_few_reads(monkeypatch):
+    """B >= 256 with one lane tile of reads routes to the XLA sampler
+    (measured 1.4-2.2x faster there; the packed kernel's useful-flop
+    ratio is 1/P and packs run sequentially)."""
+    import jax as _jax
+
+    from qbmx.samplers.api import SASampler
+
+    class _FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(_jax, "devices", lambda *a, **k: [_FakeDev()])
+    s = SASampler(num_sweeps=8)
+    small = jax.ShapeDtypeStruct((60, 41, 41), jnp.float32)
+    big = jax.ShapeDtypeStruct((600, 41, 41), jnp.float32)
+    assert s._pallas_enabled(small, 100)
+    assert not s._pallas_enabled(big, 100)
+    assert s._pallas_enabled(big, 1000)  # many reads: kernel still wins
+    # explicit override beats the heuristic
+    assert SASampler(num_sweeps=8, use_pallas=True)._pallas_enabled(big, 100)
 
 
 def test_debug_and_prng_paths_share_math():
