@@ -26,6 +26,7 @@ def main(
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
+    seed_sweep=None,
 ):
     print("Start")
     random.seed(seed)
@@ -69,6 +70,15 @@ def main(
         prob_penalty=prob_penalty, grad_clip=grad_clip,
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
+
+    if seed_sweep:
+        if coreset_budget:
+            raise ValueError("--seed_sweep does not compose with "
+                             "--coreset_budget (the coreset depends on one "
+                             "model's embedding)")
+        return _seed_sweep(qbm, seed_sweep, train_x, train_y, test_x, test_y,
+                           epochs, batch_size, learning_rate, save, name,
+                           class_names)
 
     if coreset_budget:
         from qbmx.data.coreset import downsample_kcenter_with_light_model
@@ -114,6 +124,38 @@ def main(
     print("Recall: ", recall)
     print("AUC Score: ", auc)
     return acc, f1, precision, recall, auc
+
+
+def _seed_sweep(qbm, seeds, train_x, train_y, test_x, test_y, epochs,
+                batch_size, learning_rate, save, name, class_names):
+    """All seeds as one batched device sweep (``SeedParallelCDQBM``); per-
+    epoch test metrics per seed, reference-style per-seed pickles."""
+    import pickle
+    from pathlib import Path
+
+    from qbmx.train.loop import get_best_combined_acc_auc
+    from qbmx.train.sweep import SeedParallelCDQBM
+
+    sweep = SeedParallelCDQBM(seeds, qbm)
+    hists = sweep.train(train_x, train_y, test_x, test_y, epochs=epochs,
+                        batch_size=batch_size, learning_rate=learning_rate,
+                        class_titles=class_names, verbose=True)
+    accs, aucs = [], []
+    for s, h in zip(seeds, hists):
+        _, acc, auc, _ = get_best_combined_acc_auc(h)
+        accs.append(acc)
+        aucs.append(auc)
+        if save:
+            out = Path(save)
+            out.mkdir(parents=True, exist_ok=True)
+            with open(out / f"{name}acc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.acc_per_epoch, f)
+            with open(out / f"{name}auc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.auc_per_epoch, f)
+        print(f"seed {s}: best acc {acc:.4f} auc {auc:.4f}")
+    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
+          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
+    return accs, aucs
 
 
 def build_parser():
@@ -166,6 +208,10 @@ def build_parser():
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="max gradient global L2 norm (0 = off, reference "
                         "parity; flag-gated stability extension)")
+    p.add_argument("--seed_sweep", type=int, nargs="+", default=None,
+                   help="train ALL listed seeds as one batched device sweep "
+                        "(qbmx.train.sweep.SeedParallelCDQBM); -s still "
+                        "seeds the data subsample/shuffle")
     return p
 
 
@@ -188,4 +234,5 @@ if __name__ == "__main__":
         pool_select=flags.pool_select, center_fmap=flags.center_fmap,
         signed_input=flags.signed_input, prob_penalty=flags.prob_penalty,
         grad_clip=flags.grad_clip, progress=flags.progress,
+        seed_sweep=flags.seed_sweep,
     )

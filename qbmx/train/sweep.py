@@ -222,17 +222,8 @@ class SeedParallelDQBM:
               batch_size: int = 8, learning_rate: float = 0.005,
               class_titles=("0", "1"), verbose: bool = True) -> list[History]:
         """Returns one reference-style ``History`` per seed."""
-        x = np.asarray(train_X, dtype="float32")
-        yh = np.asarray(train_Y)
-        n = len(x)
-        nb = -(-n // batch_size)
-        pad = nb * batch_size - n
-        mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
-        xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
-        yp = np.concatenate([yh, np.zeros((pad,) + yh.shape[1:], yh.dtype)]) if pad else yh
-        xb = jnp.asarray(xp.reshape((nb, batch_size) + x.shape[1:]))
-        yb = jnp.asarray(yp.reshape(nb, batch_size))
-        maskb = jnp.asarray(mask.reshape(nb, batch_size))
+        xb, yb, maskb, nb = _pad_to_batches(
+            np.asarray(train_X, dtype="float32"), np.asarray(train_Y), batch_size)
         xv = jnp.asarray(val_X, jnp.float32) if val_X is not None else None
 
         histories = [History() for _ in range(self.S)]
@@ -276,6 +267,215 @@ class SeedParallelDQBM:
         return histories
 
     def params_for_seed(self, s: int) -> DQBMParams:
+        """Slice seed ``s``'s parameters out of the stacked pytree."""
+        return jax.tree.map(lambda a: a[s], self.params)
+
+
+def _pad_to_batches(x: np.ndarray, y: np.ndarray, batch_size: int):
+    """Pad a ragged dataset to whole batches → (xb, yb, maskb, nb); the
+    mask zeros padded examples out of every statistic (design invariant:
+    static shapes, ragged tails padded + masked inside the jitted step)."""
+    n = len(x)
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+    mask = np.concatenate([np.ones(n, "float32"), np.zeros(pad, "float32")])
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+    xb = jnp.asarray(x.reshape((nb, batch_size) + x.shape[1:]))
+    yb = jnp.asarray(y.reshape(nb, batch_size))
+    maskb = jnp.asarray(mask.reshape(nb, batch_size))
+    return xb, yb, maskb, nb
+
+
+class SeedParallelCDQBM:
+    """Train S convolutional deep QBMs (one per seed) as a single batched
+    program — the :class:`SeedParallelDQBM` treatment for the CDQBM stack.
+
+    A single donor :class:`~qbmx.models.cdqbm.CDQBM` supplies the static
+    geometry, flags, and pure per-example builders; the parameter pytree is
+    stacked over seeds (each seed's init stream identical to constructing
+    ``CDQBM(seed=s)``), the clamped/unclamped QUBO builds vmap over
+    (seed × example), and the seed axis folds into the SAMPLER's problem
+    batch — one ``sample_batch`` call over 2·S·B packed n_total-variable
+    problems per step.  Epochs launch as unrolled jitted segments exactly
+    like the donor's ``EpochLaunchMixin`` path (pallas-in-scan hangs the
+    axon AOT compiler).
+    """
+
+    def __init__(self, seeds: Sequence[int], model):
+        """``model``: the donor CDQBM; its own ``params``/``key`` are
+        ignored — every seed re-derives the donor's init stream
+        (``jax.random.key(seed)`` → split → U(-1,1) init)."""
+        from qbmx.models.cdqbm import init_params as cdqbm_init
+        from qbmx.samplers.api import sampler_jit_safe
+
+        if not sampler_jit_safe(model.sampler):
+            raise ValueError("seed-parallel sweeps need a jit-safe sampler")
+        self.model = model
+        self.seeds = [int(s) for s in seeds]
+        self.S = len(self.seeds)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            init_keys, run_keys = [], []
+            for s in self.seeds:
+                k = jax.random.key(s)
+                k, ik = jax.random.split(k)
+                init_keys.append(ik)
+                run_keys.append(k)
+            params = jax.vmap(
+                lambda k: cdqbm_init(k, model.geo, model.hidden_bias_type,
+                                     model.is_restricted)
+            )(jnp.stack(init_keys))
+            keys = jnp.stack(run_keys)
+        dev = jax.devices()[0]
+        self.params = jax.device_put(params, dev)
+        self.keys = jax.device_put(keys, dev)
+        self._step = self._build_step()
+        self._predict = self._build_predict()
+        self._epoch_cache: dict[int, callable] = {}
+
+    def _build_step(self):
+        m = self.model
+        S = self.S
+
+        def step(params, x, y, mask, lr, keys):
+            """params: (S, …) stacked pytree; x (B, H, W) shared."""
+            y_vec = (jax.nn.one_hot(y.astype(jnp.int32), m.geo.n_out)
+                     if m.use_one_hot_encoding else y.astype(jnp.float32)[:, None])
+            B = x.shape[0]
+            nh, nt = m.geo.n_hidden, m.geo.n_total
+            Qc = jax.vmap(lambda p: jax.vmap(
+                lambda xi, yi: m.clamped_qubo(p, xi, yi))(x, y_vec))(params)
+            Qu = jax.vmap(lambda p: jax.vmap(
+                lambda xi: m.unclamped_qubo(p, xi))(x))(params)
+            # fuse phases AND seeds into one sampler batch (2·S·B problems);
+            # clamped QUBOs zero-padded by n_out dead variables (cdqbm.py
+            # _step_fn does the same for one seed)
+            Qc_pad = jnp.zeros((S, B, nt, nt), Qc.dtype).at[:, :, :nh, :nh].set(Qc)
+            Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, nt, nt)
+            s_all = m.sampler.sample_batch(keys[0], Q_all, m.sample_count)
+            s_all = s_all.reshape(S, 2 * B, m.sample_count, nt)
+            s_c = s_all[:, :B, :, :nh]
+            s_u = s_all[:, B:]
+
+            denom = jnp.maximum(mask.sum(), 1.0)
+
+            def per_seed(p, sc, su):
+                mc = jax.vmap(lambda s, xi, yi: m._moments(p, s, xi, yi))(sc, x, y_vec)
+                mu = jax.vmap(lambda s, xi: m._moments(p, s, xi))(su, x)
+                diff = jax.tree.map(lambda a, b: a - b, mc, mu)
+
+                def avg(leaf):
+                    mk = mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+                    return (leaf * mk).sum(axis=0) / denom
+
+                grad = jax.tree.map(avg, diff)
+                if m.is_restricted:
+                    grad = dataclasses.replace(grad, w_seq_intra=tuple(
+                        jnp.zeros_like(w) for w in grad.w_seq_intra))
+                if m.hidden_bias_type == "none":
+                    grad = dataclasses.replace(grad, b_conv=jnp.zeros_like(grad.b_conv))
+                if m.grad_clip > 0.0:
+                    from qbmx.models.base import clip_by_global_norm
+
+                    grad = clip_by_global_norm(grad, m.grad_clip)
+                new_p = jax.tree.map(lambda a, g: a - lr * g, p, grad)
+                probs = m._probs_from_samples(su)
+                p_y = jnp.take_along_axis(
+                    probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+                nll = (-jnp.log(p_y + 1e-12) * mask).sum() / denom
+                return new_p, nll
+
+            return jax.vmap(per_seed)(params, s_c, s_u)
+
+        return step
+
+    def _build_predict(self):
+        m = self.model
+        S = self.S
+
+        @jax.jit
+        def predict(params, x, key):
+            Qu = jax.vmap(lambda p: jax.vmap(
+                lambda xi: m.unclamped_qubo(p, xi))(x))(params)
+            B, nt = x.shape[0], m.geo.n_total
+            s_u = m.sampler.sample_batch(key, Qu.reshape(S * B, nt, nt),
+                                         m.sample_count)
+            s_u = s_u.reshape(S, B, m.sample_count, nt)
+            return jax.vmap(m._probs_from_samples)(s_u)  # (S, B, C)
+
+        return predict
+
+    def _build_epoch(self, nb: int):
+        step = self._step
+
+        @jax.jit
+        def epoch(params, xb, yb, maskb, lr, keys):
+            nlls = []
+            for i in range(nb):  # static unroll (pallas-in-scan hangs AOT)
+                ks = jax.vmap(jax.random.split)(keys)
+                keys, sub = ks[:, 0], ks[:, 1]
+                params, nll = step(params, xb[i], yb[i], maskb[i], lr, sub)
+                nlls.append(nll)
+            return params, keys, jnp.stack(nlls, axis=1)  # (S, nb)
+
+        return epoch
+
+    def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
+              batch_size: int = 8, learning_rate: float = 0.005,
+              epoch_segment: int = 8, predict_chunk: int = 32,
+              class_titles=("0", "1"), verbose: bool = True) -> list[History]:
+        """Returns one reference-style ``History`` per seed."""
+        m = self.model
+        x = m._prepare_inputs(np.asarray(train_X, dtype="float32"))
+        xb, yb, maskb, nb = _pad_to_batches(x, np.asarray(train_Y), batch_size)
+        xv = (jnp.asarray(m._prepare_inputs(np.asarray(val_X, dtype="float32")))
+              if val_X is not None else None)
+
+        histories = [History() for _ in range(self.S)]
+        for epoch_i in range(1, epochs + 1):
+            nll_parts = []
+            for s0 in range(0, nb, epoch_segment):
+                seg = min(epoch_segment, nb - s0)
+                if seg not in self._epoch_cache:
+                    self._epoch_cache[seg] = self._build_epoch(seg)
+                self.params, self.keys, nlls = self._epoch_cache[seg](
+                    self.params, xb[s0 : s0 + seg], yb[s0 : s0 + seg],
+                    maskb[s0 : s0 + seg], learning_rate, self.keys,
+                )
+                nll_parts.append(np.asarray(nlls))
+            nlls = np.concatenate(nll_parts, axis=1)  # (S, nb)
+            for s in range(self.S):
+                histories[s].nll_per_batch.extend(float(v) for v in nlls[s])
+                histories[s].nll_per_epoch.append(float(nlls[s].sum()) / nb)
+                histories[s].errors_per_batch.extend(0.0 for _ in range(nb))
+                histories[s].error_per_epoch.append(0.0)
+
+            if xv is not None:
+                probs_parts = []
+                for i in range(0, xv.shape[0], predict_chunk):
+                    self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+                    probs_parts.append(np.asarray(self._predict(
+                        self.params, xv[i : i + predict_chunk], self.keys[0])))
+                probs = np.concatenate(probs_parts, axis=1)  # (S, n_val, C)
+                for s in range(self.S):
+                    preds = np.argmax(probs[s], axis=1)
+                    acc, _, _, _, auc = get_metrics(val_Y, preds, list(class_titles))
+                    histories[s].acc_per_epoch.append(acc)
+                    histories[s].auc_per_epoch.append(auc)
+                    histories[s].combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+                if verbose:
+                    accs = [h.acc_per_epoch[-1] for h in histories]
+                    print(f"Epoch {epoch_i}/{epochs}  "
+                          f"val_acc mean {np.mean(accs):.4f} "
+                          f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
+        return histories
+
+    def params_for_seed(self, s: int):
         """Slice seed ``s``'s parameters out of the stacked pytree."""
         return jax.tree.map(lambda a: a[s], self.params)
 
@@ -343,7 +543,7 @@ class SeedParallelRBM:
         self._step = make_train_step(num_classes, method=method, cd_k=k,
                                      sparse_constant=sparse_constant,
                                      generative_factor=generative_factor)
-        self._sweep_fn = None
+        self._sweep_cache: dict[tuple, callable] = {}
 
     def _build_sweep(self, n: int, nb: int, bs: int, epochs: int, shuffle: bool):
         from qbmx.models.rbm import predict_proba
@@ -390,7 +590,11 @@ class SeedParallelRBM:
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         nb = n // batch_size
-        run = self._build_sweep(n, nb, batch_size, epochs, shuffle)
+        sig = (n, nb, batch_size, epochs, shuffle)
+        run = self._sweep_cache.get(sig)
+        if run is None:
+            run = self._sweep_cache[sig] = self._build_sweep(
+                n, nb, batch_size, epochs, shuffle)
         self.params, self.keys, probs, _ = run(
             self.params, self.keys, x, y, jnp.asarray(test_x, jnp.float32),
             self.learning_rate)

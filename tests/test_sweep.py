@@ -174,3 +174,72 @@ class TestSeedParallelRBM:
         assert len(accs[0]) == 2
         with pytest.raises(ValueError, match="pcd"):
             SeedParallelRBM([0], num_visible=6, num_hidden=4, method="pcd")
+
+
+class TestSeedParallelCDQBM:
+    def _donor(self, **kw):
+        from qbmx.models.cdqbm import CDQBM
+
+        kw.setdefault("sampler", SASampler(num_sweeps=8, use_pallas=False))
+        kw.setdefault("sample_count", 16)
+        return CDQBM(image_shape=(5, 5), num_label_nodes=1, kernel_size=2,
+                     pooling_size=2, sequential_layer_sizes=[2],
+                     hidden_bias_type="shared", **kw)
+
+    def test_per_seed_init_matches_single_model(self):
+        from qbmx.models.cdqbm import CDQBM
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        seeds = [3, 17]
+        sweep = SeedParallelCDQBM(seeds, self._donor())
+        for i, s in enumerate(seeds):
+            single = self._donor(seed=s)
+            assert isinstance(single, CDQBM)
+            for a, b in zip(jax.tree.leaves(sweep.params_for_seed(i)),
+                            jax.tree.leaves(single.params)):
+                assert np.allclose(np.asarray(a), np.asarray(b)), (i, s)
+
+    def test_sweep_trains_and_predicts(self, rng):
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        x = rng.uniform(0, 1, (11, 5, 5)).astype("float32")
+        y = (x[:, 2, 2] > 0.5).astype("float32")
+        sweep = SeedParallelCDQBM([0, 1, 2], self._donor())
+        hist = sweep.train(x, y, x, y, epochs=2, batch_size=4,
+                           learning_rate=0.05, verbose=False)
+        assert len(hist) == 3
+        for h in hist:
+            assert len(h.nll_per_epoch) == 2 and len(h.acc_per_epoch) == 2
+            assert np.all(np.isfinite(h.nll_per_batch))
+        # seeds must differ (independent inits → different trajectories)
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(sweep.params_for_seed(0))[0]),
+            np.asarray(jax.tree.leaves(sweep.params_for_seed(1))[0]))
+
+    def test_matches_sequential_cdqbm_nll(self, rng):
+        """First-step NLL per seed must be close to the sequential model's
+        (same init, same exact-ish sampler statistics)."""
+        from qbmx.train.loop import train_model
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        x = rng.uniform(0, 1, (8, 5, 5)).astype("float32")
+        y = (x[:, 2, 2] > 0.5).astype("float32")
+        donor = self._donor(sampler=ExactSampler(), sample_count=512)
+        sweep = SeedParallelCDQBM([5], donor)
+        hist = sweep.train(x, y, epochs=1, batch_size=8,
+                           learning_rate=0.0, verbose=False)
+        single = self._donor(seed=5, sampler=ExactSampler(), sample_count=512)
+        _, nll = single.train_for_one_iteration(x, y, learning_rate=0.0)
+        assert abs(hist[0].nll_per_epoch[0] - float(nll)) < 0.15, (
+            hist[0].nll_per_epoch, float(nll))
+
+    def test_rejects_host_bound_sampler(self):
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        class FakeHostSampler:
+            jit_safe = False
+
+        donor = self._donor()
+        donor.sampler = FakeHostSampler()
+        with pytest.raises(ValueError, match="jit-safe"):
+            SeedParallelCDQBM([0], donor)
