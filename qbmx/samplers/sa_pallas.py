@@ -91,12 +91,19 @@ def pack_geometry(n: int, batch: int | None = None,
         work_cap = 2 * _MXU_WORK_BUDGET if B >= 8 * P else _MXU_WORK_BUDGET
         if P * N * Rr > work_cap:
             break
-        # multi-pack grids double-buffer the (N, N) couplings block across
-        # programs; a single pack keeps one copy resident.  Counting that
-        # prevents a compile-time scoped-VMEM OOM at e.g. n=41 B=600 R=100
-        # (P=64 → N=3072: 2×37.7 MB of J alone; P=32 measured equal anyway)
-        jbufs = 2 if B > P else 1
-        if 4 * (jbufs * N * N + 2 * N * Rr) > _VMEM_BUDGET:
+        if B > P:
+            # multi-pack grids double-buffer their input blocks, and the
+            # whole pipelined working set (2×J + in/out/scratch (N,R)
+            # blocks) must fit the compiler's 16 MiB scoped-VMEM limit —
+            # exceeding it is a compile-time OOM, observed at N=1536
+            # (2×9 MiB of J + 0.75 MiB scratch = 18.75 MiB).  A single
+            # pack has no pipelining and tolerates the full VMEM budget
+            # (N=3072's 37.7 MB J tile compiles and runs at B=60) — so a
+            # multi-pack rejection only SKIPS this P: the next tier may
+            # hold the whole batch in one pack and pass the looser check.
+            if 4 * (2 * N * N + 3 * N * Rr) > 15 * 2**20:
+                continue
+        elif 4 * (N * N + 2 * N * Rr) > _VMEM_BUDGET:
             break
         P_best, N_best = P, N
     return stride, P_best, N_best

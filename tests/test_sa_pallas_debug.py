@@ -87,10 +87,12 @@ def test_pack_geometry_strategies():
     assert pack_geometry(41, batch=1, reads=4)[1] == 1
     assert pack_geometry(130, batch=1, reads=4)[1] == 1
     # batch-aware refinements (measured on v5e, see routing constants):
-    # multi-pack grids double-buffer J — P=64's N=3072 tile must drop to
-    # P=32 when B > P (compile-time scoped-VMEM OOM otherwise) ...
+    # multi-pack grids must fit the compiler's 16 MiB scoped-VMEM limit
+    # with double-buffered blocks — N=1536 (2×9 MiB of J) is a compile-
+    # time OOM, so n=41 drops to P=16 when B > P (measured within 3% of
+    # the bigger packs anyway) ...
     assert pack_geometry(41, batch=60, reads=100)[1] == 64   # single pack
-    assert pack_geometry(41, batch=600, reads=100)[1] == 32  # multi-pack
+    assert pack_geometry(41, batch=600, reads=100)[1] == 16  # multi-pack
     # ... and with packs to spare (B >= 8P) up to 2x the MXU-work knee wins
     assert pack_geometry(5, batch=120, reads=1000)[1] == 32
     assert pack_geometry(5, batch=1200, reads=1000)[1] == 64
