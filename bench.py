@@ -35,14 +35,13 @@ def load_images(n_target: int = 65536):
     return x, y
 
 
-def main():
+def main(batch_size: int = 4096, num_hidden: int = 128):
+    # defaults are the measured-best config; num_hidden=128 is wide enough
+    # to exercise the MXU (reference uses 9)
     import jax
     import jax.numpy as jnp
 
     from qbmx.models.rbm import init_params, make_epoch_scan, make_train_step
-
-    batch_size = 4096
-    num_hidden = 128  # wide enough to exercise the MXU; reference uses 9
     x, y = load_images()
     n = (len(x) // batch_size) * batch_size
     nb = n // batch_size
@@ -103,4 +102,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--hidden", type=int, default=128)
+    a = ap.parse_args()
+    main(batch_size=a.batch, num_hidden=a.hidden)
