@@ -99,15 +99,19 @@ class SASampler:
         B = int(Q.shape[0])
         if num_reads <= 128 and B >= 256:
             return False
-        # Otherwise route on a VMEM budget: couplings tile + state + per-
-        # sweep uniforms of the CHOSEN pack geometry must fit (measured on
-        # v5e the kernel beats the XLA sampler 2-5x whenever it fits).
+        # Otherwise route on the CHOSEN pack geometry's own VMEM rules:
+        # a single pack gets the full budget; a multi-pack grid double-
+        # buffers its blocks under the compiler's 16 MiB scoped-VMEM limit
+        # (pack_geometry enforces the same split, but its P=1 fallback can
+        # still exceed it — decline here so such shapes go to XLA instead
+        # of a compile-time OOM).
         from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
 
         stride, P, N = pack_geometry(int(Q.shape[-1]), batch=B, reads=num_reads)
         R = -(-num_reads // 128) * 128
-        vmem = 4 * (N * N + 2 * N * R)
-        return vmem <= _VMEM_BUDGET
+        if B > P:  # multi-pack grid
+            return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
+        return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
 
 
 @dataclasses.dataclass(frozen=True)

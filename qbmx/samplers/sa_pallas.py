@@ -61,11 +61,12 @@ def _pow2_ceil(x: int) -> int:
 # 50M regresses 61→80 ms); n=6 B=120 R=1024 prefers P=32 (8.4M; P=64 at 33M
 # regresses 7.6→9.9 ms); n=130 B=8 runs 111→21 ms from P=1→8.
 #
-# The knee is BATCH-dependent: past it the extra per-substep work stops
-# paying only when the batch can't fill the bigger packs.  With packs to
-# spare (B ≥ 8·P) up to 2× the knee still wins: n=6 B=1200 R=1024 runs
-# 66.5→60.1 ms from P=32→64 (33.6M), while B=120 at the same shape
-# regresses (7.6→9.9 ms) — hence the B ≥ 8·P gate on the relaxed budget.
+# The knee holds at large batches too: n=6 B=1200 R=1024 measures
+# P=8/16/32/64/128 = 181/90/66/85/137 ms (cache-cleared forced
+# geometries, scripts/probe_pack_routing.py) — P=32 (8.4M, under the
+# knee) wins and P=64 (33.6M) regresses 29%, matching the B=120
+# measurement.  An earlier "relaxed knee for B ≥ 8·P" change was based
+# on jit-cache-contaminated timings and is deliberately NOT here.
 _MXU_WORK_BUDGET = 26_000_000
 _VMEM_BUDGET = 48 * 2**20
 
@@ -88,8 +89,7 @@ def pack_geometry(n: int, batch: int | None = None,
         if P > _pow2_ceil(B):
             break
         N = _round_up(stride * P, 128)
-        work_cap = 2 * _MXU_WORK_BUDGET if B >= 8 * P else _MXU_WORK_BUDGET
-        if P * N * Rr > work_cap:
+        if P * N * Rr > _MXU_WORK_BUDGET:
             break
         if B > P:
             # multi-pack grids double-buffer their input blocks, and the

@@ -88,28 +88,12 @@ class SeedParallelDQBM:
         self.sampler = sampler if sampler is not None else get_sampler(
             solver, num_sweeps=anneal_steps)
 
-        # per-seed init streams identical to DiscQBM.__init__ — derived on
-        # the CPU backend (threefry bits are device-independent; a TPU-side
-        # init would pay a remote AOT compile for microseconds of work)
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        with jax.default_device(cpu):
-            init_keys, run_keys = [], []
-            for s in self.seeds:
-                k = jax.random.key(s)
-                k, ik = jax.random.split(k)
-                init_keys.append(ik)
-                run_keys.append(k)
-            params = jax.vmap(
-                lambda k: init_params(k, dim_input, n_hidden_nodes,
-                                      self.n_output_nodes, restricted)
-            )(jnp.stack(init_keys))
-            keys = jnp.stack(run_keys)  # (S,) per-seed training streams
-        dev = jax.devices()[0]
-        self.params = jax.device_put(params, dev)
-        self.keys = jax.device_put(keys, dev)
+        # per-seed init streams identical to DiscQBM.__init__
+        self.params, self.keys = _seed_streams(
+            self.seeds,
+            lambda k: init_params(k, dim_input, n_hidden_nodes,
+                                  self.n_output_nodes, restricted),
+        )
 
         self.mesh = mesh
         if mesh is not None:
@@ -202,19 +186,7 @@ class SeedParallelDQBM:
         return predict
 
     def _build_epoch(self, nb: int):
-        step = self._step
-
-        @jax.jit
-        def epoch(params, xb, yb, maskb, lr, keys):
-            nlls = []
-            for i in range(nb):  # static unroll (pallas-in-scan hangs AOT)
-                ks = jax.vmap(jax.random.split)(keys)  # (S, 2)
-                keys, sub = ks[:, 0], ks[:, 1]
-                params, nll = step(params, xb[i], yb[i], maskb[i], lr, sub)
-                nlls.append(nll)
-            return params, keys, jnp.stack(nlls, axis=1)  # (S, nb)
-
-        return epoch
+        return _unrolled_epoch(self._step, nb)
 
     # -- driver ----------------------------------------------------------------
 
@@ -271,6 +243,48 @@ class SeedParallelDQBM:
         return jax.tree.map(lambda a: a[s], self.params)
 
 
+def _seed_streams(seeds: Sequence[int], init_fn):
+    """Stacked per-seed (params, run_key) derivation, matching the single-
+    model classes' ``jax.random.key(seed)`` → split → init streams.
+
+    Runs on the CPU backend: threefry bits are device-independent, and a
+    TPU-side init would pay a remote AOT compile for ~1000× less device
+    work than the compile costs.  ``init_fn(init_key) -> params pytree``.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu):
+        init_keys, run_keys = [], []
+        for s in seeds:
+            k = jax.random.key(int(s))
+            k, ik = jax.random.split(k)
+            init_keys.append(ik)
+            run_keys.append(k)
+        params = jax.vmap(init_fn)(jnp.stack(init_keys))
+        keys = jnp.stack(run_keys)
+    dev = jax.devices()[0]
+    return jax.device_put(params, dev), jax.device_put(keys, dev)
+
+
+def _unrolled_epoch(step, nb: int):
+    """Jitted epoch of ``nb`` statically-unrolled step calls (pallas-in-
+    scan hangs the axon AOT compiler) with per-seed key streams."""
+
+    @jax.jit
+    def epoch(params, xb, yb, maskb, lr, keys):
+        nlls = []
+        for i in range(nb):
+            ks = jax.vmap(jax.random.split)(keys)  # (S, 2)
+            keys, sub = ks[:, 0], ks[:, 1]
+            params, nll = step(params, xb[i], yb[i], maskb[i], lr, sub)
+            nlls.append(nll)
+        return params, keys, jnp.stack(nlls, axis=1)  # (S, nb)
+
+    return epoch
+
+
 def _pad_to_batches(x: np.ndarray, y: np.ndarray, batch_size: int):
     """Pad a ragged dataset to whole batches → (xb, yb, maskb, nb); the
     mask zeros padded examples out of every statistic (design invariant:
@@ -315,25 +329,11 @@ class SeedParallelCDQBM:
         self.model = model
         self.seeds = [int(s) for s in seeds]
         self.S = len(self.seeds)
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        with jax.default_device(cpu):
-            init_keys, run_keys = [], []
-            for s in self.seeds:
-                k = jax.random.key(s)
-                k, ik = jax.random.split(k)
-                init_keys.append(ik)
-                run_keys.append(k)
-            params = jax.vmap(
-                lambda k: cdqbm_init(k, model.geo, model.hidden_bias_type,
-                                     model.is_restricted)
-            )(jnp.stack(init_keys))
-            keys = jnp.stack(run_keys)
-        dev = jax.devices()[0]
-        self.params = jax.device_put(params, dev)
-        self.keys = jax.device_put(keys, dev)
+        self.params, self.keys = _seed_streams(
+            self.seeds,
+            lambda k: cdqbm_init(k, model.geo, model.hidden_bias_type,
+                                 model.is_restricted),
+        )
         self._step = self._build_step()
         self._predict = self._build_predict()
         self._epoch_cache: dict[int, callable] = {}
@@ -411,19 +411,7 @@ class SeedParallelCDQBM:
         return predict
 
     def _build_epoch(self, nb: int):
-        step = self._step
-
-        @jax.jit
-        def epoch(params, xb, yb, maskb, lr, keys):
-            nlls = []
-            for i in range(nb):  # static unroll (pallas-in-scan hangs AOT)
-                ks = jax.vmap(jax.random.split)(keys)
-                keys, sub = ks[:, 0], ks[:, 1]
-                params, nll = step(params, xb[i], yb[i], maskb[i], lr, sub)
-                nlls.append(nll)
-            return params, keys, jnp.stack(nlls, axis=1)  # (S, nb)
-
-        return epoch
+        return _unrolled_epoch(self._step, nb)
 
     def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
               batch_size: int = 8, learning_rate: float = 0.005,
@@ -519,27 +507,10 @@ class SeedParallelRBM:
         self.S = len(self.seeds)
         self.num_classes = num_classes
         self.learning_rate = float(learning_rate)
-        # Derive keys and init params on the CPU backend: threefry is
-        # device-independent (identical bits), and the remote AOT compile a
-        # TPU-side init would pay dwarfs the device work by ~1000x.
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        with jax.default_device(cpu):
-            init_keys, run_keys = [], []
-            for s in self.seeds:
-                key = jax.random.key(s)
-                key, ik = jax.random.split(key)
-                init_keys.append(ik)
-                run_keys.append(key)
-            params = jax.vmap(
-                lambda ik: rbm_init(ik, num_visible, num_hidden, num_classes)
-            )(jnp.stack(init_keys))
-            keys = jnp.stack(run_keys)
-        dev = jax.devices()[0]
-        self.params = jax.device_put(params, dev)
-        self.keys = jax.device_put(keys, dev)
+        self.params, self.keys = _seed_streams(
+            self.seeds,
+            lambda ik: rbm_init(ik, num_visible, num_hidden, num_classes),
+        )
         self._step = make_train_step(num_classes, method=method, cd_k=k,
                                      sparse_constant=sparse_constant,
                                      generative_factor=generative_factor)
@@ -590,6 +561,11 @@ class SeedParallelRBM:
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         nb = n // batch_size
+        if nb == 0:
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the {n}-example training "
+                "set: the sweep would train nothing (the per-seed "
+                "ClassificationRBM path trains the remainder batch instead)")
         sig = (n, nb, batch_size, epochs, shuffle)
         run = self._sweep_cache.get(sig)
         if run is None:

@@ -9,15 +9,17 @@ sampler, using queued bursts drained by a single scalar fetch (plain
 
     python scripts/probe_pack_routing.py [B n R sweeps] ...
 
-Defaults reproduce the round-2 routing decisions:
+Defaults reproduce the round-2 routing decisions (v5e, 2026-08):
 
-    B=1200 n=6 R=1000 S=1000: routed(P=32) 66.5ms P=64 60.1ms | xla 237.7ms
-    B=1200 n=6 R=128  S=1000: P=16..128 ~71ms         | xla  49.3ms
-    B=600  n=41 R=100 S=100 : P=8..64 42-45ms         | xla  19.2ms
+    B=1200 n=6 R=1000 S=1000: pallas ~60-67ms | xla 237.7ms
+    B=1200 n=6 R=128  S=1000: pallas ~71ms    | xla  49.3ms
+    B=600  n=41 R=100 S=100 : pallas ~42ms    | xla  19.2ms
 
-(v5e, 2026-08; the n=41 P=64 multi-pack case also OOMs the compile-time
-scoped-VMEM accounting nondeterministically — the double-buffer-aware
-VMEM check in pack_geometry routes it to P=32.)
+and the multi-pack scoped-VMEM constraint: forcing P=64 at n=41 with
+B > P (N=3072, G>1) is a deterministic compile-time OOM ("Scoped
+allocation ... exceeded scoped vmem limit"), as is any multi-pack
+geometry whose doubled blocks pass 16 MiB (observed again at N=1536 in
+a jitted predict).  pack_geometry encodes both limits.
 """
 
 from __future__ import annotations
@@ -39,6 +41,15 @@ DEFAULT_SHAPES = [(1200, 6, 1000, 1000), (1200, 6, 128, 1000), (600, 41, 100, 10
 
 
 def timed(fn, Q, reads, sweeps, reps=10):
+    # CRITICAL: clear the jit cache first — sa_sample_batch_pallas is
+    # jitted, so after monkeypatching pack_geometry an un-cleared call
+    # with the same shapes is a cache HIT and silently times the PREVIOUS
+    # geometry's kernel (this bug shipped in the first version of this
+    # probe; every forced-P column measured the first-compiled P).
+    clear = getattr(fn, "clear_cache", None)
+    if clear is not None:
+        clear()
+
     def run_many(n_reps, base):
         acc = jnp.float32(0)
         for i in range(n_reps):

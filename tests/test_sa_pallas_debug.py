@@ -93,9 +93,10 @@ def test_pack_geometry_strategies():
     # the bigger packs anyway) ...
     assert pack_geometry(41, batch=60, reads=100)[1] == 64   # single pack
     assert pack_geometry(41, batch=600, reads=100)[1] == 16  # multi-pack
-    # ... and with packs to spare (B >= 8P) up to 2x the MXU-work knee wins
+    # ... and the MXU-work knee holds regardless of batch (P=64 at 33.6M
+    # measured 29% slower than P=32 even with 1200 problems to pack)
     assert pack_geometry(5, batch=120, reads=1000)[1] == 32
-    assert pack_geometry(5, batch=1200, reads=1000)[1] == 64
+    assert pack_geometry(5, batch=1200, reads=1000)[1] == 32
 
 
 def test_sa_auto_routing_prefers_xla_for_large_batch_few_reads(monkeypatch):
@@ -118,6 +119,11 @@ def test_sa_auto_routing_prefers_xla_for_large_batch_few_reads(monkeypatch):
     assert s._pallas_enabled(big, 1000)  # many reads: kernel still wins
     # explicit override beats the heuristic
     assert SASampler(num_sweeps=8, use_pallas=True)._pallas_enabled(big, 100)
+    # the P=1 fallback geometry (huge n, small batch) double-buffers its
+    # N≈1536 blocks past the 16 MiB scoped-VMEM compile limit when B > 1 —
+    # auto-routing must decline it (XLA) instead of OOMing the compiler
+    huge_n = jax.ShapeDtypeStruct((8, 1499, 1499), jnp.float32)
+    assert not s._pallas_enabled(huge_n, 100)
 
 
 def test_debug_and_prng_paths_share_math():

@@ -175,6 +175,16 @@ class TestSeedParallelRBM:
         with pytest.raises(ValueError, match="pcd"):
             SeedParallelRBM([0], num_visible=6, num_hidden=4, method="pcd")
 
+    def test_oversized_batch_raises(self, rng):
+        """batch_size > n would silently train nothing (nb = 0)."""
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=24)
+        x = (x > 0.5).astype("float32")
+        sweep = SeedParallelRBM([0], num_visible=6, num_hidden=4)
+        with pytest.raises(ValueError, match="batch_size"):
+            sweep.sweep(x, y, x, y, epochs=1, batch_size=100)
+
 
 class TestSeedParallelCDQBM:
     def _donor(self, **kw):
