@@ -53,8 +53,23 @@ def rbm_breast():
             ["--epochs", "1", "--seeds", "0", "--out", td]))
 
 
+def qbm_sweep_seedparallel():
+    # the 10-seed seed-PARALLEL breastmnist sweep's programs (epoch segment
+    # + batched predict over the stacked seed axis) — one epoch compiles
+    # every shape the full 20-epoch sweep reuses
+    import subprocess
+
+    subprocess.run(
+        [sys.executable,
+         str(Path(__file__).resolve().parent / "qbm_seed_parallel_sweep.py"),
+         "--epochs", "1"],
+        check=True,
+    )
+
+
 PRESETS = {"qbm_breast": qbm_breast, "cdqbm_mnist": cdqbm_mnist,
-           "rbm_breast": rbm_breast}
+           "rbm_breast": rbm_breast,
+           "qbm_sweep_seedparallel": qbm_sweep_seedparallel}
 
 
 def main(argv):
