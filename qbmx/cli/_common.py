@@ -44,7 +44,10 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
     (``qbm_main.py:33-49``): mnist / breastmnist / pneumoniamnist /
     fashionmnist / synthetic.  Returns (train, val, test) tuples of
     (images NxHxW, labels N).  ``num_classes`` selects the first N classes
-    for the class-filterable datasets (the reference hardcoded [0, 1])."""
+    for the class-filterable datasets (the reference hardcoded [0, 1]).
+    ``samples_per_class`` subsamples BOTH the train and test splits —
+    evaluation runs on a subsampled test set, mirroring the reference's
+    hardcoded 50-train / 20-test subsamples (``cdqbm_main.py:38-43``)."""
     classes = list(range(num_classes))
     if data_set == "mnist":
         # Reference tree ships only the t10k images (train blob missing);

@@ -191,7 +191,10 @@ def build_parser():
                    help="effective inverse temperature divisor (the reference "
                         "hardcodes 1.0; raise it to soften saturated conv units)")
     p.add_argument("--samples_per_class", type=int, default=50,
-                   help="per-class training subsample for mnist/fashionmnist")
+                   help="per-class subsample for mnist/fashionmnist, applied "
+                        "to BOTH splits — metrics are on a subsampled test "
+                        "set, like the reference's hardcoded 50 train / "
+                        "20 test (cdqbm_main.py:38-43)")
     p.add_argument("--pool_select", type=str, default="min",
                    choices=["min", "max", "absmax"],
                    help="deterministic-pooling unit choice; 'min' is reference "

@@ -515,11 +515,20 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         device copy is cached weakref-keyed on the host object (per-epoch
         validation re-sends the same array otherwise)."""
         x = self._cached_device_input(X)  # _prepare_inputs reshapes flat → image
+        n = x.shape[0]
         outs = []
-        for i in range(0, x.shape[0], chunk):
+        for i in range(0, n, chunk):
             self.key, k = jax.random.split(self.key)
-            outs.append(np.asarray(self._predict_probs(self.params, x[i : i + chunk], k)))
-        probs = np.concatenate(outs, axis=0)
+            xb = x[i : i + chunk]
+            if xb.shape[0] < chunk:
+                # pad the ragged tail to the chunk shape: a second jitted
+                # program per tail size would pay another remote AOT
+                # compile (static-shapes invariant, CLAUDE.md)
+                xb = jnp.concatenate(
+                    [xb, jnp.zeros((chunk - xb.shape[0],) + xb.shape[1:], xb.dtype)]
+                )
+            outs.append(np.asarray(self._predict_probs(self.params, xb, k)))
+        probs = np.concatenate(outs, axis=0)[:n]
         preds = np.argmax(probs, axis=1)
         return preds, probs
 
@@ -537,13 +546,18 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             x = x.reshape((-1,) + geo.image_shape)
         out = []
         ls = geo.last_hidden_slice
-        for i in range(0, x.shape[0], chunk):
+        n = x.shape[0]
+        for i in range(0, n, chunk):
             xb = x[i : i + chunk]
+            if xb.shape[0] < chunk:  # pad ragged tail (see predict_batch)
+                xb = jnp.concatenate(
+                    [xb, jnp.zeros((chunk - xb.shape[0],) + xb.shape[1:], xb.dtype)]
+                )
             self.key, k = jax.random.split(self.key)
             Qu = jax.vmap(lambda xi: self.unclamped_qubo(self.params, xi))(xb)
             s_u = self.sampler.sample_batch(k, Qu, self.sample_count)
             out.append(np.asarray(s_u[:, :, ls.start : ls.stop].mean(axis=1)))
-        return np.concatenate(out, axis=0)
+        return np.concatenate(out, axis=0)[:n]
 
     # -- checkpointing -------------------------------------------------------
 

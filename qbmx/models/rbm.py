@@ -301,7 +301,7 @@ class ClassificationRBM:
         ``train_rbm`` (``src/ClassificationRBM.py:159-205``)."""
         from qbmx.utils.metrics import accuracy_and_auc
 
-        x = jnp.asarray(train_x, jnp.float32)
+        x = jnp.asarray(train_x, jnp.float32).reshape(len(train_x), -1)
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         loss_list, nll_list = [], []
@@ -319,7 +319,11 @@ class ClassificationRBM:
             yb = ys[: nb * batch_size].reshape(nb, batch_size)
             self.key, ke = jax.random.split(self.key)
             if is_pcd:
-                # chain state carries across batches (fixed batch shape)
+                # chain state carries across batches (fixed batch shape).
+                # Deviation: the ragged tail batch is SKIPPED here — the
+                # persistent chain has batch_size rows and cannot step a
+                # smaller batch; with per-epoch reshuffling the skipped
+                # examples vary.  The non-PCD branch below trains it.
                 losses = []
                 for b in range(nb):
                     ke, k = jax.random.split(ke)

@@ -51,6 +51,12 @@ def make_dqbm_sharded_step(model: "dqbm_mod.DiscQBM", mesh: Mesh):
     (params, nll, err).  Batch dims are sharded over 'dp'; each device
     anneals ``sample_count / chains`` reads; moment sums ride the ICI via
     a single psum over ('dp', 'chains').
+
+    Deviation from the single-device step: the restricted-mode analytic
+    linear-QUBO shortcut (``dqbm.py`` ``use_linear_shortcut``) is not
+    taken here — clamped QUBOs are always sampled.  Statistically
+    equivalent (the shortcut is exact sampling of the same linear
+    problem); only the per-step cost differs.
     """
     n_chains = mesh.shape["chains"]
     reads_local = max(model.sample_count // n_chains, 1)
@@ -97,6 +103,11 @@ def make_dqbm_sharded_step(model: "dqbm_mod.DiscQBM", mesh: Mesh):
         grad = jax.tree.map(lambda s: s / jnp.maximum(denom, 1.0), global_sums)
         if restricted:
             grad = dataclasses.replace(grad, w_hh=jnp.zeros_like(grad.w_hh))
+        if model.grad_clip > 0.0:
+            # replicated grad (post-psum) → safe to clip per-device
+            from qbmx.models.base import clip_by_global_norm
+
+            grad = clip_by_global_norm(grad, model.grad_clip)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
 
         probs = dqbm_mod.output_probs_from_samples(s_u, n_out, one_hot)
@@ -157,6 +168,11 @@ def make_cdqbm_sharded_step(model: "cdqbm_mod.CDQBM", mesh: Mesh):
             )
         if model.hidden_bias_type == "none":
             grad = dataclasses.replace(grad, b_conv=jnp.zeros_like(grad.b_conv))
+        if model.grad_clip > 0.0:
+            # replicated grad (post-psum) → safe to clip per-device
+            from qbmx.models.base import clip_by_global_norm
+
+            grad = clip_by_global_norm(grad, model.grad_clip)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grad)
 
         probs = model._probs_from_samples(s_u)

@@ -31,10 +31,16 @@ _CONNECTION_ERRORS = (
 def _qubo_dict(Q: np.ndarray) -> dict:
     """Dense (n, n) float32 → sparse {(i, j): v} upper-triangular dict
     (the dimod BQM input convention the reference uses via ``di.BQM(Q,
-    "BINARY")``, ``src/qubo/sampler.py:7-8``)."""
+    "BINARY")``, ``src/qubo/sampler.py:7-8``).
+
+    Lower-triangle entries FOLD into the upper triangle (``Q[i,j] +
+    Q[j,i]``) — the same both-triangle summing every on-device sampler
+    applies via ``split_qubo`` (``qbmx/core/qubo.py``), so a symmetric
+    matrix samples the same distribution on the QPU as on TPU."""
     n = Q.shape[-1]
-    ii, jj = np.nonzero(np.triu(Q))
-    d = {(int(i), int(j)): float(Q[i, j]) for i, j in zip(ii, jj)}
+    Qf = np.triu(Q + Q.T) - np.diag(np.diag(Q))  # fold, keep diag once
+    ii, jj = np.nonzero(Qf)
+    d = {(int(i), int(j)): float(Qf[i, j]) for i, j in zip(ii, jj)}
     # keep every variable present so the sampleset covers all n columns
     for v in range(n):
         d.setdefault((v, v), 0.0)

@@ -49,7 +49,12 @@ class SeedParallelDQBM:
 
     Hyperparameters mirror :class:`qbmx.models.dqbm.DiscQBM`; every seed
     gets its own U(-1,1) init drawn from its own PRNG stream (matching the
-    single-model path) and its own training-noise stream.
+    single-model path).  Training-noise: the fused sampler call derives all
+    chains from seed 0's stream via per-problem key folds inside
+    ``sample_batch`` — chains stay independent across seeds, but the
+    per-seed noise streams do NOT match the sequential single-model runs
+    (parity is statistical, CLAUDE.md).  The carried (S,) key axis keeps
+    the per-seed streams reserved for samplers that consume them.
     """
 
     def __init__(
@@ -445,11 +450,18 @@ class SeedParallelCDQBM:
 
             if xv is not None:
                 probs_parts = []
-                for i in range(0, xv.shape[0], predict_chunk):
+                n_val = xv.shape[0]
+                for i in range(0, n_val, predict_chunk):
                     self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+                    xc = xv[i : i + predict_chunk]
+                    if xc.shape[0] < predict_chunk:  # pad ragged tail: a
+                        # second jitted predict per tail size would pay
+                        # another remote AOT compile
+                        xc = jnp.concatenate([xc, jnp.zeros(
+                            (predict_chunk - xc.shape[0],) + xc.shape[1:], xc.dtype)])
                     probs_parts.append(np.asarray(self._predict(
-                        self.params, xv[i : i + predict_chunk], self.keys[0])))
-                probs = np.concatenate(probs_parts, axis=1)  # (S, n_val, C)
+                        self.params, xc, self.keys[0])))
+                probs = np.concatenate(probs_parts, axis=1)[:, :n_val]  # (S, n_val, C)
                 for s in range(self.S):
                     preds = np.argmax(probs[s], axis=1)
                     acc, _, _, _, auc = get_metrics(val_Y, preds, list(class_titles))

@@ -116,3 +116,30 @@ class TestCDQBMSharded:
         history = train_model(model, x, y, batch_size=8, learning_rate=0.2,
                               epochs=2, verbose=False)
         assert len(history.nll_per_epoch) == 2
+
+
+class TestShardedGradClip:
+    def test_grad_clip_applied_in_sharded_step(self, devices):
+        """The mesh path must honor model.grad_clip like the single-device
+        step does (it silently dropped it before round 2's review)."""
+        mesh = make_mesh(dp=4, chains=1)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 4)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 8), dtype=jnp.float32)
+        mask = jnp.ones((8,), dtype=jnp.float32)
+
+        def step_norm(clip):
+            model = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0,
+                            sample_count=256, restricted=False,
+                            sampler=ExactSampler(), grad_clip=clip)
+            step = make_dqbm_sharded_step(model, mesh)
+            new_params, _, _ = step(model.params, x, y, mask, 1.0, jax.random.key(3))
+            delta = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                                 new_params, model.params)
+            return float(np.sqrt(sum((d ** 2).sum() for d in jax.tree.leaves(delta))))
+
+        unclipped = step_norm(0.0)
+        tiny = 1e-3
+        clipped = step_norm(tiny)
+        assert unclipped > 10 * tiny  # the toy gradient is far above the clip
+        assert clipped <= tiny * 1.01  # lr=1.0: update norm == clipped grad norm

@@ -65,6 +65,20 @@ def test_qubo_dict_roundtrip():
     assert all(i <= j for i, j in d)
 
 
+def test_qubo_dict_folds_lower_triangle():
+    """Symmetric input must sample the same energies as split_qubo's
+    both-triangle summing (dimod convention, qbmx/core/qubo.py)."""
+    rng = np.random.default_rng(0)
+    A = rng.uniform(-1, 1, (4, 4)).astype(np.float32)
+    d = _qubo_dict(A)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            expect = float(A[i, j] + A[j, i])
+            got = d.get((i, j), 0.0)
+            assert abs(got - expect) < 1e-6, (i, j, got, expect)
+        assert abs(d.get((i, i), 0.0) - float(A[i, i])) < 1e-6
+
+
 def test_sample_batch_orders_variables_and_solves():
     # ground state of diag([-1, 2, -3]) is [1, 0, 1]
     Q = jnp.asarray(np.diag([-1.0, 2.0, -3.0]).astype(np.float32))[None]

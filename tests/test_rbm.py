@@ -238,3 +238,15 @@ class TestBf16ComputeMode:
             accs[dt] = (preds == y).mean()
         assert accs[jnp.bfloat16] >= accs[jnp.float32] - 0.05
         assert accs[jnp.float32] > 0.9
+
+
+class TestImageShapedInputs:
+    def test_train_rbm_flattens_remainder_batch(self, rng):
+        """(N, H, W) train_x with N % batch_size != 0 used to crash on the
+        unflattened remainder batch (round-2 review finding)."""
+        x = (rng.uniform(0, 1, (10, 4, 4)) > 0.5).astype("float32")
+        y = rng.integers(0, 2, 10).astype("float32")
+        rbm = ClassificationRBM(num_visible=16, num_hidden=4, k=1,
+                                num_classes=2, learning_rate=0.1, seed=0)
+        loss_list, _, _ = rbm.train_rbm(x, y, epochs=1, batch_size=3)
+        assert len(loss_list) == 1 and np.isfinite(loss_list[0])
