@@ -102,3 +102,16 @@ def geometric_beta_schedule(
     shape = (num_sweeps,) + (1,) * jnp.ndim(beta_hot)
     t = t.reshape(shape)
     return jnp.exp(log_hot + t * (log_cold - log_hot)).astype(jnp.float32)
+
+
+def random_qubo_batch(rng, batch: int, n: int, scale: float = 1.0):
+    """(batch, n, n) float32 batch of random upper-triangular QUBOs with
+    U(-scale, scale) entries — the probe/validation problem ensemble shared
+    by the benchmark scripts (one definition so they all measure the same
+    distribution)."""
+    import numpy as np
+
+    return jnp.asarray(
+        np.stack([np.triu(rng.uniform(-scale, scale, (n, n))) for _ in range(batch)]),
+        dtype=jnp.float32,
+    )

@@ -23,6 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from qbmx.core.qubo import random_qubo_batch
 
 
 def time_sampler(sampler, Q, reads, reps=3):
@@ -56,10 +57,7 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     for n in args.sizes:
-        Q = jnp.asarray(
-            np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(args.batch)]),
-            dtype=jnp.float32,
-        )
+        Q = random_qubo_batch(rng, args.batch, n)
         row = {"n": n}
         for solver in solvers:
             # BMS defaults to sweeps//16 warmup passes; pin it to --sweeps so

@@ -11,9 +11,11 @@ configuration reuses them, so a 10-seed × 20-epoch sweep started afterwards
 is compile-free.
 
 Presets mirror the parity-sweep configurations (PARITY.md):
-  qbm_breast   — flat Disc_QBM, breastmnist, H=5, sc=1000, bs=60
-  cdqbm_mnist  — modular CDQBM, mnist, 3x3 kernel, deterministic pooling
+  qbm_breast   — flat Disc_QBM, breastmnist, H=5, sc=1000, bs=60, rFalse
+  cdqbm_mnist  — modular CDQBM, mnist, 3x3 kernel, anneal=1000, 16 batches
   rbm_breast   — discriminative RBM, breastmnist, H=9, bs=7
+  qbm_sweep_seedparallel — the 10-seed seed-parallel sweep's programs
+                           (one epoch, in-process)
 
 Usage:  python scripts/prewarm_compile_cache.py [preset ...]
         (no args = all presets)
@@ -32,17 +34,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def qbm_breast():
     from qbmx.cli.qbm_main import main
 
+    # restricted=False: the 10-seed parity sweep runs rFalse (its traced
+    # program differs entirely from the restricted one — linear-shortcut
+    # branch, w_hh zeroing — so warming the wrong flag warms nothing)
     main(seed=0, n_hidden_nodes=5, solver="SA", sample_count=1000, anneal=1000,
          beta_eff=1.0, epochs=1, batch_size=60, learning_rate=0.307,
-         restricted=True, data_set="breastmnist", save="")
+         restricted=False, data_set="breastmnist", save="")
 
 
 def cdqbm_mnist():
     from qbmx.cli.cdqbm_main import main
 
+    # anneal (num_sweeps) is a STATIC jit arg of the samplers — warm the
+    # CLI default 1000, not a cheaper stand-in.  samples_per_class=80 →
+    # 160 imgs → 16 batches = exactly one 16-batch epoch segment, the hot
+    # program of every larger run (ragged tail segments of other runs
+    # still compile on first use; tails are not presettable).
     main(seed=0, data_set="mnist", epochs=1, batch_size=10, sample_count=100,
-         anneal=100, learning_rate=0.05, kernel_size=3, pooling_size=2,
-         pooling_type="deterministic", samples_per_class=20, save="")
+         anneal=1000, learning_rate=0.05, kernel_size=3, pooling_size=2,
+         pooling_type="deterministic", samples_per_class=80, save="")
 
 
 def rbm_breast():
@@ -56,15 +66,20 @@ def rbm_breast():
 def qbm_sweep_seedparallel():
     # the 10-seed seed-PARALLEL breastmnist sweep's programs (epoch segment
     # + batched predict over the stacked seed axis) — one epoch compiles
-    # every shape the full 20-epoch sweep reuses
-    import subprocess
+    # every shape the full 20-epoch sweep reuses.  Runs IN-PROCESS (runpy):
+    # a subprocess would be a second live TPU client next to the presets
+    # that already initialized the TPU here — concurrent TPU processes
+    # deadlock silently (CLAUDE.md).
+    import runpy
 
-    subprocess.run(
-        [sys.executable,
-         str(Path(__file__).resolve().parent / "qbm_seed_parallel_sweep.py"),
-         "--epochs", "1"],
-        check=True,
-    )
+    argv, sys.argv = sys.argv, ["qbm_seed_parallel_sweep.py", "--epochs", "1"]
+    try:
+        runpy.run_path(
+            str(Path(__file__).resolve().parent / "qbm_seed_parallel_sweep.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
 
 
 PRESETS = {"qbm_breast": qbm_breast, "cdqbm_mnist": cdqbm_mnist,

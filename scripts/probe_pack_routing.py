@@ -36,6 +36,7 @@ import numpy as np
 
 import qbmx.samplers.sa_pallas as sp
 from qbmx.samplers.sa_jax import sa_sample_batch
+from qbmx.core.qubo import random_qubo_batch
 
 DEFAULT_SHAPES = [(1200, 6, 1000, 1000), (1200, 6, 128, 1000), (600, 41, 100, 100)]
 
@@ -74,10 +75,7 @@ def main(shapes):
     orig_pack = sp.pack_geometry
     rng = np.random.default_rng(3)
     for B, n, R, S in shapes:
-        Q = jnp.asarray(
-            np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(B)]),
-            dtype=jnp.float32,
-        )
+        Q = random_qubo_batch(rng, B, n)
         st, P0, _ = orig_pack(n, batch=B, reads=R)
         line = f"B={B} n={n} R={R} S={S}:"
         sp.pack_geometry = orig_pack

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.core.qubo import default_beta_range
+from qbmx.core.qubo import default_beta_range, random_qubo_batch
 from qbmx.samplers.exact import exact_boltzmann
 from qbmx.samplers.sa_jax import sa_sample_batch
 from qbmx.samplers.sa_pallas import sa_sample_batch_pallas
@@ -30,10 +30,7 @@ from qbmx.samplers.sa_pallas import sa_sample_batch_pallas
 
 def validate(B=60, n=6, reads=100, sweeps=1000):
     rng = np.random.default_rng(0)
-    Q = jnp.asarray(
-        np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(B)]),
-        dtype=jnp.float32,
-    )
+    Q = random_qubo_batch(rng, B, n)
     rp = np.asarray(sa_sample_batch_pallas(jax.random.key(7), Q, reads, sweeps))
     rx = np.asarray(sa_sample_batch(jax.random.key(7), Q, reads, sweeps))
     ep, ex, dd = [], [], []
@@ -61,10 +58,7 @@ def bench(shapes=((60, 6), (60, 41)), reads=100, sweeps=1000):
         return float(acc)  # one scalar fetch drains the queue
 
     for B, n in shapes:
-        Q = jnp.asarray(
-            np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(B)]),
-            dtype=jnp.float32,
-        )
+        Q = random_qubo_batch(rng, B, n)
         line = f"B={B} n={n} reads={reads} sweeps={sweeps}:"
         for name, fn in (("pallas", sa_sample_batch_pallas), ("xla", sa_sample_batch)):
             run_many(fn, Q, 1, 0)
