@@ -26,7 +26,7 @@ def main(
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
-    seed_sweep=None,
+    seed_sweep=None, reinit_on_collapse=0,
 ):
     print("Start")
     random.seed(seed)
@@ -78,7 +78,7 @@ def main(
                              "model's embedding)")
         return _seed_sweep(qbm, seed_sweep, train_x, train_y, test_x, test_y,
                            epochs, batch_size, learning_rate, save, name,
-                           class_names)
+                           class_names, reinit_on_collapse)
 
     if coreset_budget:
         from qbmx.data.coreset import downsample_kcenter_with_light_model
@@ -127,7 +127,8 @@ def main(
 
 
 def _seed_sweep(qbm, seeds, train_x, train_y, test_x, test_y, epochs,
-                batch_size, learning_rate, save, name, class_names):
+                batch_size, learning_rate, save, name, class_names,
+                reinit_on_collapse=0):
     """All seeds as one batched device sweep (``SeedParallelCDQBM``); per-
     epoch test metrics per seed, reference-style per-seed pickles."""
     import pickle
@@ -139,7 +140,8 @@ def _seed_sweep(qbm, seeds, train_x, train_y, test_x, test_y, epochs,
     sweep = SeedParallelCDQBM(seeds, qbm)
     hists = sweep.train(train_x, train_y, test_x, test_y, epochs=epochs,
                         batch_size=batch_size, learning_rate=learning_rate,
-                        class_titles=class_names, verbose=True)
+                        class_titles=class_names, verbose=True,
+                        reinit_on_collapse=reinit_on_collapse)
     accs, aucs = [], []
     for s, h in zip(seeds, hists):
         _, acc, auc, _ = get_best_combined_acc_auc(h)
@@ -211,6 +213,11 @@ def build_parser():
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="max gradient global L2 norm (0 = off, reference "
                         "parity; flag-gated stability extension)")
+    p.add_argument("--reinit_on_collapse", type=int, default=0,
+                   help="seed-sweep only: after N epochs, re-draw the "
+                        "params of seeds stuck at the majority-class "
+                        "prediction (flag-gated; the flatline mode is an "
+                        "init-basin property, PARITY.md §4)")
     p.add_argument("--seed_sweep", type=int, nargs="+", default=None,
                    help="train ALL listed seeds as one batched device sweep "
                         "(qbmx.train.sweep.SeedParallelCDQBM); -s still "
@@ -237,5 +244,5 @@ if __name__ == "__main__":
         pool_select=flags.pool_select, center_fmap=flags.center_fmap,
         signed_input=flags.signed_input, prob_penalty=flags.prob_penalty,
         grad_clip=flags.grad_clip, progress=flags.progress,
-        seed_sweep=flags.seed_sweep,
+        seed_sweep=flags.seed_sweep, reinit_on_collapse=flags.reinit_on_collapse,
     )

@@ -248,13 +248,16 @@ class SeedParallelDQBM:
         return jax.tree.map(lambda a: a[s], self.params)
 
 
-def _seed_streams(seeds: Sequence[int], init_fn):
+def _seed_streams(seeds: Sequence[int], init_fn, attempt: int = 0):
     """Stacked per-seed (params, run_key) derivation, matching the single-
     model classes' ``jax.random.key(seed)`` → split → init streams.
 
     Runs on the CPU backend: threefry bits are device-independent, and a
     TPU-side init would pay a remote AOT compile for ~1000× less device
     work than the compile costs.  ``init_fn(init_key) -> params pytree``.
+    ``attempt`` > 0 folds into the seed key first — fresh, deterministic
+    re-draws for collapse re-initialization (attempt 0 = single-model
+    parity streams).
     """
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -264,6 +267,8 @@ def _seed_streams(seeds: Sequence[int], init_fn):
         init_keys, run_keys = [], []
         for s in seeds:
             k = jax.random.key(int(s))
+            if attempt:
+                k = jax.random.fold_in(k, attempt)
             k, ik = jax.random.split(k)
             init_keys.append(ik)
             run_keys.append(k)
@@ -418,11 +423,38 @@ class SeedParallelCDQBM:
     def _build_epoch(self, nb: int):
         return _unrolled_epoch(self._step, nb)
 
+    def reinit_seeds(self, indices: Sequence[int], attempt: int = 1) -> None:
+        """Re-draw listed seeds' parameters and key streams from fresh
+        folds of their seed keys (``fold_in(key(seed), attempt)``) —
+        deterministic, distinct from attempt 0, and a pure host-side row
+        replacement (no new compiled programs)."""
+        from qbmx.models.cdqbm import init_params as cdqbm_init
+
+        m = self.model
+        fresh_p, fresh_k = _seed_streams(
+            [self.seeds[i] for i in indices],
+            lambda k: cdqbm_init(k, m.geo, m.hidden_bias_type, m.is_restricted),
+            attempt=attempt,
+        )
+        idx = jnp.asarray(list(indices), dtype=jnp.int32)
+        self.params = jax.tree.map(
+            lambda a, f: a.at[idx].set(f), self.params, fresh_p)
+        self.keys = self.keys.at[idx].set(fresh_k)
+
     def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
               batch_size: int = 8, learning_rate: float = 0.005,
               epoch_segment: int = 8, predict_chunk: int = 32,
-              class_titles=("0", "1"), verbose: bool = True) -> list[History]:
-        """Returns one reference-style ``History`` per seed."""
+              class_titles=("0", "1"), verbose: bool = True,
+              reinit_on_collapse: int = 0) -> list[History]:
+        """Returns one reference-style ``History`` per seed.
+
+        ``reinit_on_collapse`` (flag-gated extension, 0 = off): after that
+        many epochs, any seed whose every validation accuracy so far is at
+        or below the majority-class fraction (the flatline failure mode —
+        PARITY.md §4: neither grad_clip nor beta_eff rescues it, it is an
+        init-basin property) gets its parameters re-drawn via
+        :meth:`reinit_seeds` and trains on within the remaining epochs.
+        """
         m = self.model
         x = m._prepare_inputs(np.asarray(train_X, dtype="float32"))
         xb, yb, maskb, nb = _pad_to_batches(x, np.asarray(train_Y), batch_size)
@@ -473,6 +505,19 @@ class SeedParallelCDQBM:
                     print(f"Epoch {epoch_i}/{epochs}  "
                           f"val_acc mean {np.mean(accs):.4f} "
                           f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
+
+                if reinit_on_collapse and epoch_i == reinit_on_collapse:
+                    vy = np.asarray(val_Y)
+                    maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
+                    collapsed = [s for s in range(self.S)
+                                 if max(histories[s].acc_per_epoch) <= maj + 1e-9]
+                    if collapsed:
+                        self.reinit_seeds(collapsed)
+                        if verbose:
+                            print(f"re-initialized flatlined seeds "
+                                  f"{[self.seeds[s] for s in collapsed]} "
+                                  f"(<= majority fraction {maj:.3f} for "
+                                  f"{epoch_i} epochs)")
         return histories
 
     def params_for_seed(self, s: int):

@@ -253,3 +253,41 @@ class TestSeedParallelCDQBM:
         donor.sampler = FakeHostSampler()
         with pytest.raises(ValueError, match="jit-safe"):
             SeedParallelCDQBM([0], donor)
+
+    def test_reinit_seeds_replaces_only_listed_rows(self):
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        sweep = SeedParallelCDQBM([7, 8, 9], self._donor())
+        before = [jax.tree.map(lambda a: np.asarray(a[s]).copy(), sweep.params)
+                  for s in range(3)]
+        sweep.reinit_seeds([1])
+        after = [jax.tree.map(lambda a: np.asarray(a[s]), sweep.params)
+                 for s in range(3)]
+        for s in (0, 2):  # untouched rows bit-identical
+            for a, b in zip(jax.tree.leaves(before[s]), jax.tree.leaves(after[s])):
+                np.testing.assert_array_equal(a, b)
+        changed = any(not np.allclose(a, b) for a, b in
+                      zip(jax.tree.leaves(before[1]), jax.tree.leaves(after[1])))
+        assert changed
+        # deterministic: a second sweep re-initialized the same way matches
+        sweep2 = SeedParallelCDQBM([7, 8, 9], self._donor())
+        sweep2.reinit_seeds([1])
+        for a, b in zip(jax.tree.leaves(sweep.params), jax.tree.leaves(sweep2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_reinit_on_collapse_triggers(self, rng):
+        """With an impossible-to-beat majority threshold the check must
+        re-draw every seed at the requested epoch (smoke: end-to-end
+        wiring, determinism covered above)."""
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        x = rng.uniform(0, 1, (8, 5, 5)).astype("float32")
+        y = np.zeros(8, dtype="float32")  # majority fraction 1.0 on val
+        sweep = SeedParallelCDQBM([0, 1], self._donor())
+        before = jax.tree.map(lambda a: np.asarray(a).copy(), sweep.params)
+        sweep.train(x, y, x, y, epochs=2, batch_size=4, learning_rate=0.0,
+                    verbose=False, reinit_on_collapse=1)
+        # lr=0 → params could only change via the re-init
+        changed = any(not np.allclose(a, b) for a, b in
+                      zip(jax.tree.leaves(before), jax.tree.leaves(sweep.params)))
+        assert changed
