@@ -22,6 +22,7 @@ def main(
     beta_eff=1.0, epochs=3, batch_size=10, learning_rate=0.01, restricted=True,
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
     use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
+    reinit_on_collapse=0,
 ):
     print("Start")
     random.seed(seed)
@@ -59,6 +60,7 @@ def main(
         dqbm, train_X, train_y, test_X, test_y, batch_size=batch_size,
         learning_rate=learning_rate, epochs=epochs, progress=progress,
         save_folder=f"{save}{pstr}" if save else None,
+        reinit_on_collapse=reinit_on_collapse,
     )
     print(f"QBM trained in {time.time() - t0:.1f}s")
 
@@ -117,6 +119,10 @@ def build_parser():
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="max gradient global L2 norm (0 = off, reference "
                         "parity; flag-gated stability extension)")
+    p.add_argument("--reinit_on_collapse", type=int, default=0,
+                   help="after N epochs, re-draw the params if val accuracy "
+                        "is stuck at the majority-class prediction "
+                        "(flag-gated; init-basin flatline, PARITY.md §4)")
     return p
 
 
@@ -132,5 +138,5 @@ if __name__ == "__main__":
         anneal=flags.anneal, save=flags.save, name=flags.name,
         beta_eff=flags.beta_eff, use_one_hot_encoding=flags.one_hot,
         load_path=flags.load_path, progress=flags.progress,
-        grad_clip=flags.grad_clip,
+        grad_clip=flags.grad_clip, reinit_on_collapse=flags.reinit_on_collapse,
     )

@@ -576,6 +576,16 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             np.asarray(p.b_o),
         ]
 
+    def reinit_params(self, attempt: int = 1) -> None:
+        """Re-draw parameters and PRNG stream from a fresh deterministic
+        fold of the seed key — see ``DiscQBM.reinit_params`` (flatline
+        recovery, PARITY.md §4)."""
+        self.key = jax.random.fold_in(jax.random.key(self.seed), attempt)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(
+            init_key, self.geo, self.hidden_bias_type, self.is_restricted
+        )
+
     def save_weights(self, title, path="out"):
         Path(path).mkdir(parents=True, exist_ok=True)
         with open(f"{path}/{title}.pkl", "wb") as f:

@@ -257,6 +257,7 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal_steps)
 
+        self._init_dims = (dim_input, n_hidden_nodes)
         self.key = jax.random.key(seed)
         self.key, init_key = jax.random.split(self.key)
         self.params = init_params(
@@ -431,6 +432,17 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         if not self.restricted:
             objs.append(np.asarray(p.w_hh))
         return objs
+
+    def reinit_params(self, attempt: int = 1) -> None:
+        """Re-draw parameters and PRNG stream from a fresh deterministic
+        fold of the seed key (``fold_in(key(seed), attempt)``) — the
+        single-model counterpart of ``SeedParallelCDQBM.reinit_seeds``
+        (flatline recovery is an init-basin property, PARITY.md §4)."""
+        self.key = jax.random.fold_in(jax.random.key(self.seed), attempt)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(
+            init_key, *self._init_dims, self.n_output_nodes, self.restricted
+        )
 
     def save_weights(self, title, path="out"):
         Path(path).mkdir(parents=True, exist_ok=True)

@@ -97,10 +97,17 @@ def train_model(
     verbose: bool = True,
     history: History | None = None,
     progress: bool = False,
+    reinit_on_collapse: int = 0,
 ) -> History:
     """``progress=True`` draws a tqdm bar over the per-batch loop (only the
     eager path has batch granularity; whole-epoch launches are single
-    device calls and report at epoch granularity via ``verbose``)."""
+    device calls and report at epoch granularity via ``verbose``).
+
+    ``reinit_on_collapse`` (flag-gated, 0 = off, needs ``val_X``): after
+    that many epochs, if every validation accuracy so far is at or below
+    the majority-class fraction (the flatline failure mode — an
+    init-basin property, PARITY.md §4), call ``model.reinit_params()``
+    and train on within the remaining epochs."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
     epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
@@ -163,6 +170,16 @@ def train_model(
             if verbose:
                 print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}  "
                       f"val_acc={acc:.4f}  val_auc={auc:.4f}")
+            if (reinit_on_collapse and epoch == reinit_on_collapse
+                    and hasattr(model, "reinit_params")):
+                vy = np.asarray(val_Y)
+                maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
+                if max(history.acc_per_epoch[-epoch:]) <= maj + 1e-9:
+                    model.reinit_params()
+                    if verbose:
+                        print(f"re-initialized flatlined model "
+                              f"(val_acc <= majority fraction {maj:.3f} "
+                              f"for {epoch} epochs)")
         elif verbose:
             print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}")
 

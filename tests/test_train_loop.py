@@ -2,6 +2,8 @@
 
 import pickle
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,41 @@ class TestScanGating:
             m2.train_for_one_iteration(x[b:b+6], y[b:b+6], 0.3)
         for a, b in zip(jax.tree.leaves(m1.params), jax.tree.leaves(m2.params)):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=0.05)
+
+
+class TestReinitOnCollapse:
+    def test_model_reinit_params_rederives_fresh_deterministic_init(self):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import SASampler
+
+        kw = dict(dim_input=5, n_hidden_nodes=3, seed=9, sample_count=8,
+                  restricted=False,
+                  sampler=SASampler(num_sweeps=4, use_pallas=False))
+        m = DiscQBM(**kw)
+        orig = jax.tree.map(lambda a: np.asarray(a).copy(), m.params)
+        m.reinit_params()
+        changed = any(not np.allclose(a, b) for a, b in
+                      zip(jax.tree.leaves(orig), jax.tree.leaves(m.params)))
+        assert changed
+        m2 = DiscQBM(**kw)
+        m2.reinit_params()
+        for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(m2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_model_reinit_triggers_on_flatline(self, rng):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import SASampler
+        from qbmx.train.loop import train_model
+
+        x = rng.uniform(0, 1, (12, 4)).astype("float32")
+        y = np.zeros(12, dtype="float32")  # majority fraction 1.0: always "stuck"
+        m = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=8,
+                    restricted=False,
+                    sampler=SASampler(num_sweeps=4, use_pallas=False))
+        before = jax.tree.map(lambda a: np.asarray(a).copy(), m.params)
+        train_model(m, x, y, x, y, batch_size=6, learning_rate=0.0, epochs=2,
+                    verbose=False, reinit_on_collapse=1)
+        # lr=0 → only the re-init can have changed the params
+        changed = any(not np.allclose(a, b) for a, b in
+                      zip(jax.tree.leaves(before), jax.tree.leaves(m.params)))
+        assert changed
