@@ -71,6 +71,11 @@ def main(
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
+    if reinit_on_collapse and not seed_sweep:
+        raise ValueError(
+            "--reinit_on_collapse requires --seed_sweep here: the "
+            "single-model cdqbm path has no per-epoch validation for the "
+            "collapse check (qbm_main wires it for single models)")
     if seed_sweep:
         if coreset_budget:
             raise ValueError("--seed_sweep does not compose with "

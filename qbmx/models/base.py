@@ -12,6 +12,21 @@ from pathlib import Path
 import numpy as np
 
 
+def pad_rows(x, total: int):
+    """Zero-pad axis 0 of a device array up to ``total`` rows — for the
+    ragged TAIL chunk of chunked prediction/embedding loops (a second
+    jitted program per tail size would pay another remote AOT compile;
+    static-shapes invariant, CLAUDE.md).  Callers slice the padding back
+    off the output."""
+    import jax.numpy as jnp
+
+    if x.shape[0] == total:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((total - x.shape[0],) + x.shape[1:], x.dtype)]
+    )
+
+
 def clip_by_global_norm(tree, max_norm: float):
     """Scale a gradient pytree so its global L2 norm is at most ``max_norm``.
 

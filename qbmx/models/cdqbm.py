@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.models.base import EpochLaunchMixin, QBMModel
+from qbmx.models.base import EpochLaunchMixin, QBMModel, pad_rows
 from qbmx.models.geometry import StackGeometry, patch_index_grid
 from qbmx.samplers.api import Sampler, get_sampler
 
@@ -519,14 +519,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         outs = []
         for i in range(0, n, chunk):
             self.key, k = jax.random.split(self.key)
-            xb = x[i : i + chunk]
-            if xb.shape[0] < chunk:
-                # pad the ragged tail to the chunk shape: a second jitted
-                # program per tail size would pay another remote AOT
-                # compile (static-shapes invariant, CLAUDE.md)
-                xb = jnp.concatenate(
-                    [xb, jnp.zeros((chunk - xb.shape[0],) + xb.shape[1:], xb.dtype)]
-                )
+            xb = pad_rows(x[i : i + chunk], chunk)  # ragged tail
             outs.append(np.asarray(self._predict_probs(self.params, xb, k)))
         probs = np.concatenate(outs, axis=0)[:n]
         preds = np.argmax(probs, axis=1)
@@ -548,11 +541,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         ls = geo.last_hidden_slice
         n = x.shape[0]
         for i in range(0, n, chunk):
-            xb = x[i : i + chunk]
-            if xb.shape[0] < chunk:  # pad ragged tail (see predict_batch)
-                xb = jnp.concatenate(
-                    [xb, jnp.zeros((chunk - xb.shape[0],) + xb.shape[1:], xb.dtype)]
-                )
+            xb = pad_rows(x[i : i + chunk], chunk)  # ragged tail
             self.key, k = jax.random.split(self.key)
             Qu = jax.vmap(lambda xi: self.unclamped_qubo(self.params, xi))(xb)
             s_u = self.sampler.sample_batch(k, Qu, self.sample_count)

@@ -257,7 +257,6 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal_steps)
 
-        self._init_dims = (dim_input, n_hidden_nodes)
         self.key = jax.random.key(seed)
         self.key, init_key = jax.random.split(self.key)
         self.params = init_params(
@@ -441,7 +440,8 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         self.key = jax.random.fold_in(jax.random.key(self.seed), attempt)
         self.key, init_key = jax.random.split(self.key)
         self.params = init_params(
-            init_key, *self._init_dims, self.n_output_nodes, self.restricted
+            init_key, self.dim_input, self.n_hidden_nodes,
+            self.n_output_nodes, self.restricted,
         )
 
     def save_weights(self, title, path="out"):

@@ -351,7 +351,9 @@ class ClassificationRBM:
         return loss_list, self, nll_list
 
     def predict(self, x):
-        probs = predict_proba(self.params, jnp.asarray(x, jnp.float32))
+        # accept image-shaped input like train_rbm does
+        x = jnp.asarray(x, jnp.float32).reshape(len(x), -1)
+        probs = predict_proba(self.params, x)
         return np.asarray(jnp.argmax(probs, axis=-1))
 
     def run_test_set(self, x, y):

@@ -170,8 +170,10 @@ def train_model(
             if verbose:
                 print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}  "
                       f"val_acc={acc:.4f}  val_auc={auc:.4f}")
+            # epoch < epochs: a re-draw after the FINAL epoch would return
+            # an untrained random model to the caller's evaluation
             if (reinit_on_collapse and epoch == reinit_on_collapse
-                    and hasattr(model, "reinit_params")):
+                    and epoch < epochs and hasattr(model, "reinit_params")):
                 vy = np.asarray(val_Y)
                 maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
                 if max(history.acc_per_epoch[-epoch:]) <= maj + 1e-9:

@@ -40,6 +40,7 @@ from qbmx.models.dqbm import (
     output_probs_from_samples,
     unclamped_qubo_batch,
 )
+from qbmx.models.base import pad_rows
 from qbmx.samplers.api import Sampler, get_sampler
 from qbmx.utils.metrics import History, get_metrics
 
@@ -485,12 +486,7 @@ class SeedParallelCDQBM:
                 n_val = xv.shape[0]
                 for i in range(0, n_val, predict_chunk):
                     self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
-                    xc = xv[i : i + predict_chunk]
-                    if xc.shape[0] < predict_chunk:  # pad ragged tail: a
-                        # second jitted predict per tail size would pay
-                        # another remote AOT compile
-                        xc = jnp.concatenate([xc, jnp.zeros(
-                            (predict_chunk - xc.shape[0],) + xc.shape[1:], xc.dtype)])
+                    xc = pad_rows(xv[i : i + predict_chunk], predict_chunk)
                     probs_parts.append(np.asarray(self._predict(
                         self.params, xc, self.keys[0])))
                 probs = np.concatenate(probs_parts, axis=1)[:, :n_val]  # (S, n_val, C)
@@ -506,7 +502,10 @@ class SeedParallelCDQBM:
                           f"val_acc mean {np.mean(accs):.4f} "
                           f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
 
-                if reinit_on_collapse and epoch_i == reinit_on_collapse:
+                # epoch_i < epochs: re-drawing after the FINAL epoch would
+                # leave collapsed seeds' returned params untrained
+                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                        and epoch_i < epochs):
                     vy = np.asarray(val_Y)
                     maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
                     collapsed = [s for s in range(self.S)

@@ -46,13 +46,15 @@ def cdqbm_mnist():
     from qbmx.cli.cdqbm_main import main
 
     # anneal (num_sweeps) is a STATIC jit arg of the samplers — warm the
-    # CLI default 1000, not a cheaper stand-in.  samples_per_class=80 →
-    # 160 imgs → 16 batches = exactly one 16-batch epoch segment, the hot
-    # program of every larger run (ragged tail segments of other runs
-    # still compile on first use; tails are not presettable).
+    # CLI default 1000, not a cheaper stand-in.  samples_per_class=100:
+    # this environment lacks the MNIST train blob, so load_dataset takes
+    # the t10k 80/10/10 fallback → 0.8·200 = 160 train imgs → exactly one
+    # 16-batch epoch segment (EPOCH_UNROLL_SEGMENT), the hot program of
+    # every larger run (ragged tail segments still compile on first use;
+    # tails are not presettable).
     main(seed=0, data_set="mnist", epochs=1, batch_size=10, sample_count=100,
          anneal=1000, learning_rate=0.05, kernel_size=3, pooling_size=2,
-         pooling_type="deterministic", samples_per_class=80, save="")
+         pooling_type="deterministic", samples_per_class=100, save="")
 
 
 def rbm_breast():
