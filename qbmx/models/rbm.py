@@ -295,10 +295,25 @@ class ClassificationRBM:
         self.acc_per_epoch_list: list[float] = []
         self.auc_per_epoch_list: list[float] = []
 
+    def reinit_params(self, attempt: int = 1) -> None:
+        """Re-draw parameters and PRNG stream from a fresh deterministic
+        fold of the seed key — see ``DiscQBM.reinit_params`` (flatline
+        recovery, PARITY.md §4).  Resets any PCD chain."""
+        self.key = jax.random.fold_in(jax.random.key(self.seed), attempt)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_params(
+            init_key, self.num_visible, self.num_hidden, self.num_classes)
+        self._chain = None
+
     def train_rbm(self, train_x, train_y, epochs, batch_size, test_x=None, test_y=None,
-                  shuffle=True):
+                  shuffle=True, reinit_on_collapse: int = 0):
         """Epoch loop with per-epoch test accuracy/AUC, like the reference
-        ``train_rbm`` (``src/ClassificationRBM.py:159-205``)."""
+        ``train_rbm`` (``src/ClassificationRBM.py:159-205``).
+
+        ``reinit_on_collapse`` (flag-gated, 0 = off, needs ``test_x``):
+        after that many epochs, if every per-epoch accuracy so far is at
+        or below the majority-class fraction, re-draw the parameters via
+        :meth:`reinit_params` (never after the final epoch)."""
         from qbmx.utils.metrics import accuracy_and_auc
 
         x = jnp.asarray(train_x, jnp.float32).reshape(len(train_x), -1)
@@ -307,7 +322,7 @@ class ClassificationRBM:
         loss_list, nll_list = [], []
         is_pcd = self.method == "pcd"
         epoch_fn = None if is_pcd else make_epoch_scan(self._step)
-        for _ in range(epochs):
+        for epoch_i in range(1, epochs + 1):
             if shuffle:
                 self.key, kp = jax.random.split(self.key)
                 perm = jax.random.permutation(kp, n)
@@ -348,6 +363,12 @@ class ClassificationRBM:
                 acc, auc = accuracy_and_auc(np.asarray(test_y), preds)
                 self.acc_per_epoch_list.append(acc)
                 self.auc_per_epoch_list.append(auc)
+                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                        and epoch_i < epochs):
+                    ty = np.asarray(test_y)
+                    maj = max(float(np.mean(ty == c)) for c in np.unique(ty))
+                    if max(self.acc_per_epoch_list[-epoch_i:]) <= maj + 1e-9:
+                        self.reinit_params()
         return loss_list, self, nll_list
 
     def predict(self, x):

@@ -194,12 +194,34 @@ class SeedParallelDQBM:
     def _build_epoch(self, nb: int):
         return _unrolled_epoch(self._step, nb)
 
+    def reinit_seeds(self, indices: Sequence[int], attempt: int = 1) -> None:
+        """Re-draw listed seeds' parameters and key streams from fresh
+        folds of their seed keys — see ``SeedParallelCDQBM.reinit_seeds``
+        (flatline recovery is an init-basin property, PARITY.md §4)."""
+        # w_vo is (S, dim_input, n_out); b_h is (S, H)
+        dims = (self.params.w_vo.shape[-2], self.params.b_h.shape[-1])
+        fresh_p, fresh_k = _seed_streams(
+            [self.seeds[i] for i in indices],
+            lambda k: init_params(k, *dims, self.n_output_nodes,
+                                  self.restricted),
+            attempt=attempt,
+        )
+        if self.mesh is not None:
+            # keep the dp sharding: row-scatter on replicated fresh rows
+            fresh_p = jax.device_put(fresh_p, jax.devices()[0])
+        idx = jnp.asarray(list(indices), dtype=jnp.int32)
+        self.params = jax.tree.map(
+            lambda a, f: a.at[idx].set(f), self.params, fresh_p)
+        self.keys = self.keys.at[idx].set(fresh_k)
+
     # -- driver ----------------------------------------------------------------
 
     def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
               batch_size: int = 8, learning_rate: float = 0.005,
-              class_titles=("0", "1"), verbose: bool = True) -> list[History]:
-        """Returns one reference-style ``History`` per seed."""
+              class_titles=("0", "1"), verbose: bool = True,
+              reinit_on_collapse: int = 0) -> list[History]:
+        """Returns one reference-style ``History`` per seed.
+        ``reinit_on_collapse``: see :meth:`SeedParallelCDQBM.train`."""
         xb, yb, maskb, nb = _pad_to_batches(
             np.asarray(train_X, dtype="float32"), np.asarray(train_Y), batch_size)
         xv = jnp.asarray(val_X, jnp.float32) if val_X is not None else None
@@ -242,6 +264,20 @@ class SeedParallelDQBM:
                     print(f"Epoch {epoch_i}/{epochs}  "
                           f"val_acc mean {np.mean(accs):.4f} "
                           f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
+
+                # flag-gated flatline recovery (see SeedParallelCDQBM.train;
+                # epoch_i < epochs: never re-draw after the final epoch)
+                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                        and epoch_i < epochs):
+                    vy = np.asarray(val_Y)
+                    maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
+                    collapsed = [s for s in range(self.S)
+                                 if max(histories[s].acc_per_epoch) <= maj + 1e-9]
+                    if collapsed:
+                        self.reinit_seeds(collapsed)
+                        if verbose:
+                            print(f"re-initialized flatlined seeds "
+                                  f"{[self.seeds[s] for s in collapsed]}")
         return histories
 
     def params_for_seed(self, s: int) -> DQBMParams:

@@ -1,15 +1,16 @@
-"""10-seed breastmnist Disc_QBM sweep as ONE seed-parallel device job.
+"""10-seed Disc_QBM sweep as ONE seed-parallel device job.
 
-Same configuration as the sequential parity sweep
+Defaults reproduce the breastmnist parity sweep configuration
 (``out/parity/qbm_sa_sweep_r2.log``: h5, sc1000, 1000 sweeps, bs60,
-lr0.307, e20, the reference's 10 seeds) but trained via
+lr0.307, e20, the reference's 10 seeds) trained via
 ``qbmx.train.sweep.SeedParallelDQBM``: all 10 models' QUBOs build under one
 vmap and anneal in one packed sampler batch per step, so the whole sweep
-pays ONE set of epoch dispatches instead of ten.
+pays ONE set of epoch dispatches instead of ten.  ``--data_set
+pneumoniamnist --hnodes 2 --batch_size 73 --lr 0.4529451796571889``
+reproduces the pneumonia config the reference ran on a D-Wave QPU.
 
 Usage: python scripts/qbm_seed_parallel_sweep.py   (TPU)
-Writes: out/parity/qbm_sa_sweep_seedparallel.log (via tee by the caller,
-or just stdout) — compare mean±std against PARITY.md §1.
+Writes: stdout (tee to out/parity/...) — compare mean±std vs PARITY.md §1.
 """
 
 from __future__ import annotations
@@ -35,20 +36,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grad_clip", type=float, default=0.0)
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--data_set", type=str, default="breastmnist")
+    ap.add_argument("--hnodes", type=int, default=5)
+    ap.add_argument("--batch_size", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=0.307)
+    ap.add_argument("--reinit_on_collapse", type=int, default=0)
     args = ap.parse_args()
 
     t_all = time.time()
-    (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
+    (train_X, train_y), _, (test_X, test_y) = load_dataset(args.data_set, seed=0)
     train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
 
     sweep = SeedParallelDQBM(
-        DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=5,
+        DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
         restricted=False, sample_count=1000, anneal_steps=1000,
         epoch_segment=16, grad_clip=args.grad_clip,
     )
     t0 = time.time()
     hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.epochs,
-                        batch_size=60, learning_rate=0.307, verbose=True)
+                        batch_size=args.batch_size, learning_rate=args.lr,
+                        verbose=True,
+                        reinit_on_collapse=args.reinit_on_collapse)
     t_train = time.time() - t0
 
     accs, aucs = [], []

@@ -250,3 +250,27 @@ class TestImageShapedInputs:
                                 num_classes=2, learning_rate=0.1, seed=0)
         loss_list, _, _ = rbm.train_rbm(x, y, epochs=1, batch_size=3)
         assert len(loss_list) == 1 and np.isfinite(loss_list[0])
+
+
+class TestRBMReinit:
+    def test_reinit_params_fresh_and_deterministic(self):
+        kw = dict(num_visible=10, num_hidden=4, seed=3, learning_rate=0.1)
+        r1 = ClassificationRBM(**kw)
+        orig = np.asarray(r1.params.weights).copy()
+        r1.reinit_params()
+        assert not np.allclose(orig, np.asarray(r1.params.weights))
+        r2 = ClassificationRBM(**kw)
+        r2.reinit_params()
+        np.testing.assert_array_equal(np.asarray(r1.params.weights),
+                                      np.asarray(r2.params.weights))
+
+    def test_train_rbm_reinit_triggers_on_flatline(self, rng):
+        x = (rng.uniform(0, 1, (12, 10)) > 0.5).astype("float32")
+        y = np.zeros(12, dtype="float32")  # majority fraction 1.0
+        rbm = ClassificationRBM(num_visible=10, num_hidden=4, seed=0,
+                                learning_rate=0.0)
+        before = np.asarray(rbm.params.weights).copy()
+        rbm.train_rbm(x, y, epochs=2, batch_size=6, test_x=x, test_y=y,
+                      reinit_on_collapse=1)
+        # lr=0 → only the re-init can have changed the weights
+        assert not np.allclose(before, np.asarray(rbm.params.weights))

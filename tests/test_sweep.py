@@ -291,3 +291,34 @@ class TestSeedParallelCDQBM:
         changed = any(not np.allclose(a, b) for a, b in
                       zip(jax.tree.leaves(before), jax.tree.leaves(sweep.params)))
         assert changed
+
+
+class TestDQBMSweepReinit:
+    def test_reinit_seeds_replaces_only_listed_rows(self):
+        sweep = SeedParallelDQBM([4, 5, 6], dim_input=5, n_hidden_nodes=3,
+                                 sample_count=8,
+                                 sampler=SASampler(num_sweeps=4, use_pallas=False))
+        before = jax.tree.map(lambda a: np.asarray(a).copy(), sweep.params)
+        sweep.reinit_seeds([2])
+        after = jax.tree.map(np.asarray, sweep.params)
+        for a, b in zip(jax.tree.leaves(
+                jax.tree.map(lambda v: v[:2], before)),
+                jax.tree.leaves(jax.tree.map(lambda v: v[:2], after))):
+            np.testing.assert_array_equal(a, b)
+        changed = any(not np.allclose(a[2], b[2]) for a, b in
+                      zip(jax.tree.leaves(before), jax.tree.leaves(after))
+                      if a[2].size)
+        assert changed
+
+    def test_train_reinit_on_collapse_smoke(self, rng):
+        x, y = two_cluster_data(rng, n=24)
+        y0 = np.zeros_like(y)  # impossible majority threshold
+        sweep = SeedParallelDQBM([0, 1], dim_input=6, n_hidden_nodes=2,
+                                 sample_count=8,
+                                 sampler=SASampler(num_sweeps=4, use_pallas=False))
+        before = jax.tree.map(lambda a: np.asarray(a).copy(), sweep.params)
+        sweep.train(x, y0, x, y0, epochs=2, batch_size=12, learning_rate=0.0,
+                    verbose=False, reinit_on_collapse=1)
+        changed = any(not np.allclose(a, b) for a, b in
+                      zip(jax.tree.leaves(before), jax.tree.leaves(sweep.params)))
+        assert changed
