@@ -41,20 +41,25 @@ def main():
     ap.add_argument("--batch_size", type=int, default=60)
     ap.add_argument("--lr", type=float, default=0.307)
     ap.add_argument("--reinit_on_collapse", type=int, default=0)
+    ap.add_argument("--num_classes", type=int, default=2)
+    ap.add_argument("--one_hot", action="store_true")
     args = ap.parse_args()
 
     t_all = time.time()
-    (train_X, train_y), _, (test_X, test_y) = load_dataset(args.data_set, seed=0)
+    (train_X, train_y), _, (test_X, test_y) = load_dataset(
+        args.data_set, seed=0, num_classes=args.num_classes)
     train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
 
     sweep = SeedParallelDQBM(
         DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
+        num_classes=args.num_classes, use_one_hot_encoding=args.one_hot,
         restricted=False, sample_count=1000, anneal_steps=1000,
         epoch_segment=16, grad_clip=args.grad_clip,
     )
     t0 = time.time()
     hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.epochs,
                         batch_size=args.batch_size, learning_rate=args.lr,
+                        class_titles=tuple(str(i) for i in range(args.num_classes)),
                         verbose=True,
                         reinit_on_collapse=args.reinit_on_collapse)
     t_train = time.time() - t0
