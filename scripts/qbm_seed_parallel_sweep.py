@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--reinit_on_collapse", type=int, default=0)
     ap.add_argument("--num_classes", type=int, default=2)
     ap.add_argument("--one_hot", action="store_true")
+    ap.add_argument("--solver", type=str, default="SA",
+                    help="SA / SA-JAX / BMS / PT / EXACT (sampler registry)")
     args = ap.parse_args()
 
     t_all = time.time()
@@ -54,7 +56,7 @@ def main():
         DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
         num_classes=args.num_classes, use_one_hot_encoding=args.one_hot,
         restricted=False, sample_count=1000, anneal_steps=1000,
-        epoch_segment=16, grad_clip=args.grad_clip,
+        solver=args.solver, epoch_segment=16, grad_clip=args.grad_clip,
     )
     t0 = time.time()
     hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.epochs,
