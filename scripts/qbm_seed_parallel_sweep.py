@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--one_hot", action="store_true")
     ap.add_argument("--solver", type=str, default="SA",
                     help="SA / SA-JAX / BMS / PT / EXACT (sampler registry)")
+    ap.add_argument("--restricted", action="store_true")
     args = ap.parse_args()
 
     t_all = time.time()
@@ -55,7 +56,7 @@ def main():
     sweep = SeedParallelDQBM(
         DEFAULT_SEEDS, dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
         num_classes=args.num_classes, use_one_hot_encoding=args.one_hot,
-        restricted=False, sample_count=1000, anneal_steps=1000,
+        restricted=args.restricted, sample_count=1000, anneal_steps=1000,
         solver=args.solver, epoch_segment=16, grad_clip=args.grad_clip,
     )
     t0 = time.time()
