@@ -311,15 +311,17 @@ class ClassificationRBM:
         ``train_rbm`` (``src/ClassificationRBM.py:159-205``).
 
         ``reinit_on_collapse`` (flag-gated, 0 = off, needs ``test_x``):
-        after that many epochs, if every per-epoch accuracy so far is at
-        or below the majority-class fraction, re-draw the parameters via
-        :meth:`reinit_params` (never after the final epoch)."""
+        every N epochs, if the per-epoch accuracy stayed at or below the
+        majority-class fraction for the whole window, re-draw the
+        parameters via :meth:`reinit_params` with a fresh attempt number
+        (never after the final epoch)."""
         from qbmx.utils.metrics import accuracy_and_auc
 
         x = jnp.asarray(train_x, jnp.float32).reshape(len(train_x), -1)
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         loss_list, nll_list = [], []
+        reinit_attempt = 0
         is_pcd = self.method == "pcd"
         epoch_fn = None if is_pcd else make_epoch_scan(self._step)
         for epoch_i in range(1, epochs + 1):
@@ -363,12 +365,14 @@ class ClassificationRBM:
                 acc, auc = accuracy_and_auc(np.asarray(test_y), preds)
                 self.acc_per_epoch_list.append(acc)
                 self.auc_per_epoch_list.append(auc)
-                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                if (reinit_on_collapse and epoch_i % reinit_on_collapse == 0
                         and epoch_i < epochs):
                     ty = np.asarray(test_y)
                     maj = max(float(np.mean(ty == c)) for c in np.unique(ty))
-                    if max(self.acc_per_epoch_list[-epoch_i:]) <= maj + 1e-9:
-                        self.reinit_params()
+                    window = self.acc_per_epoch_list[-reinit_on_collapse:]
+                    if max(window) <= maj + 1e-9:
+                        reinit_attempt += 1
+                        self.reinit_params(attempt=reinit_attempt)
         return loss_list, self, nll_list
 
     def predict(self, x):

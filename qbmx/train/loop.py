@@ -103,11 +103,12 @@ def train_model(
     eager path has batch granularity; whole-epoch launches are single
     device calls and report at epoch granularity via ``verbose``).
 
-    ``reinit_on_collapse`` (flag-gated, 0 = off, needs ``val_X``): after
-    that many epochs, if every validation accuracy so far is at or below
-    the majority-class fraction (the flatline failure mode — an
-    init-basin property, PARITY.md §4), call ``model.reinit_params()``
-    and train on within the remaining epochs."""
+    ``reinit_on_collapse`` (flag-gated, 0 = off, needs ``val_X``): every
+    N epochs, if the validation accuracy stayed at or below the
+    majority-class fraction for the whole window (the flatline failure
+    mode — an init-basin property, PARITY.md §4), call
+    ``model.reinit_params(attempt)`` with a fresh attempt number and
+    train on within the remaining epochs."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
     epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
@@ -119,6 +120,7 @@ def train_model(
 
     n = len(train_X)
     num_batches = max(-(-n // batch_size), 1)  # ceil: the ragged tail trains too
+    reinit_attempt = 0
 
     # whole-epoch launches: lax.scan when the sampler allows it, unrolled
     # segments otherwise (model.train_epoch picks); only the native sampler
@@ -171,17 +173,20 @@ def train_model(
                 print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}  "
                       f"val_acc={acc:.4f}  val_auc={auc:.4f}")
             # epoch < epochs: a re-draw after the FINAL epoch would return
-            # an untrained random model to the caller's evaluation
-            if (reinit_on_collapse and epoch == reinit_on_collapse
+            # an untrained random model to the caller's evaluation.  The
+            # check repeats every N epochs on the last window's accs (a
+            # re-drawn init can land in another bad basin, PARITY §4).
+            if (reinit_on_collapse and epoch % reinit_on_collapse == 0
                     and epoch < epochs and hasattr(model, "reinit_params")):
                 vy = np.asarray(val_Y)
                 maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
-                if max(history.acc_per_epoch[-epoch:]) <= maj + 1e-9:
-                    model.reinit_params()
+                if max(history.acc_per_epoch[-reinit_on_collapse:]) <= maj + 1e-9:
+                    reinit_attempt += 1
+                    model.reinit_params(attempt=reinit_attempt)
                     if verbose:
                         print(f"re-initialized flatlined model "
                               f"(val_acc <= majority fraction {maj:.3f} "
-                              f"for {epoch} epochs)")
+                              f"over the last {reinit_on_collapse} epochs)")
         elif verbose:
             print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}")
 

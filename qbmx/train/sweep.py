@@ -227,6 +227,7 @@ class SeedParallelDQBM:
         xv = jnp.asarray(val_X, jnp.float32) if val_X is not None else None
 
         histories = [History() for _ in range(self.S)]
+        attempts = [0] * self.S  # per-seed re-init counters
         K = self.epoch_segment
         for epoch_i in range(1, epochs + 1):
             nll_parts = []
@@ -267,17 +268,22 @@ class SeedParallelDQBM:
 
                 # flag-gated flatline recovery (see SeedParallelCDQBM.train;
                 # epoch_i < epochs: never re-draw after the final epoch)
-                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                if (reinit_on_collapse and epoch_i % reinit_on_collapse == 0
                         and epoch_i < epochs):
                     vy = np.asarray(val_Y)
                     maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
-                    collapsed = [s for s in range(self.S)
-                                 if max(histories[s].acc_per_epoch) <= maj + 1e-9]
-                    if collapsed:
-                        self.reinit_seeds(collapsed)
-                        if verbose:
-                            print(f"re-initialized flatlined seeds "
-                                  f"{[self.seeds[s] for s in collapsed]}")
+                    # window-scoped: only the accs since the last check, so
+                    # a recovered seed is never re-drawn
+                    collapsed = [
+                        s for s in range(self.S)
+                        if max(histories[s].acc_per_epoch[-reinit_on_collapse:])
+                        <= maj + 1e-9]
+                    for s in collapsed:
+                        attempts[s] += 1
+                        self.reinit_seeds([s], attempt=attempts[s])
+                    if collapsed and verbose:
+                        print(f"re-initialized flatlined seeds "
+                              f"{[self.seeds[s] for s in collapsed]}")
         return histories
 
     def params_for_seed(self, s: int) -> DQBMParams:
@@ -485,12 +491,13 @@ class SeedParallelCDQBM:
               reinit_on_collapse: int = 0) -> list[History]:
         """Returns one reference-style ``History`` per seed.
 
-        ``reinit_on_collapse`` (flag-gated extension, 0 = off): after that
-        many epochs, any seed whose every validation accuracy so far is at
-        or below the majority-class fraction (the flatline failure mode —
-        PARITY.md §4: neither grad_clip nor beta_eff rescues it, it is an
-        init-basin property) gets its parameters re-drawn via
-        :meth:`reinit_seeds` and trains on within the remaining epochs.
+        ``reinit_on_collapse`` (flag-gated extension, 0 = off): every N
+        epochs, any seed whose validation accuracy stayed at or below the
+        majority-class fraction for the whole window (the flatline failure
+        mode — PARITY.md §4: neither grad_clip nor beta_eff rescues it, it
+        is an init-basin property) gets its parameters re-drawn via
+        :meth:`reinit_seeds` with a fresh attempt number and trains on
+        within the remaining epochs.
         """
         m = self.model
         x = m._prepare_inputs(np.asarray(train_X, dtype="float32"))
@@ -499,6 +506,7 @@ class SeedParallelCDQBM:
               if val_X is not None else None)
 
         histories = [History() for _ in range(self.S)]
+        attempts = [0] * self.S  # per-seed re-init counters
         for epoch_i in range(1, epochs + 1):
             nll_parts = []
             for s0 in range(0, nb, epoch_segment):
@@ -539,20 +547,27 @@ class SeedParallelCDQBM:
                           f"[{np.min(accs):.4f}, {np.max(accs):.4f}]")
 
                 # epoch_i < epochs: re-drawing after the FINAL epoch would
-                # leave collapsed seeds' returned params untrained
-                if (reinit_on_collapse and epoch_i == reinit_on_collapse
+                # leave collapsed seeds' returned params untrained.  The
+                # check REPEATS every N epochs with a fresh attempt number
+                # per seed — at 10 seeds one re-draw landed in another bad
+                # basin (PARITY §4), so a single fire is not enough.
+                if (reinit_on_collapse and epoch_i % reinit_on_collapse == 0
                         and epoch_i < epochs):
                     vy = np.asarray(val_Y)
                     maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
-                    collapsed = [s for s in range(self.S)
-                                 if max(histories[s].acc_per_epoch) <= maj + 1e-9]
-                    if collapsed:
-                        self.reinit_seeds(collapsed)
-                        if verbose:
-                            print(f"re-initialized flatlined seeds "
-                                  f"{[self.seeds[s] for s in collapsed]} "
-                                  f"(<= majority fraction {maj:.3f} for "
-                                  f"{epoch_i} epochs)")
+                    # window-scoped: only the accs since the last check
+                    collapsed = [
+                        s for s in range(self.S)
+                        if max(histories[s].acc_per_epoch[-reinit_on_collapse:])
+                        <= maj + 1e-9]
+                    for s in collapsed:
+                        attempts[s] += 1
+                        self.reinit_seeds([s], attempt=attempts[s])
+                    if collapsed and verbose:
+                        print(f"re-initialized flatlined seeds "
+                              f"{[self.seeds[s] for s in collapsed]} "
+                              f"(<= majority fraction {maj:.3f} over the "
+                              f"last {reinit_on_collapse} epochs)")
         return histories
 
     def params_for_seed(self, s: int):

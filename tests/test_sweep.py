@@ -322,3 +322,34 @@ class TestDQBMSweepReinit:
         changed = any(not np.allclose(a, b) for a, b in
                       zip(jax.tree.leaves(before), jax.tree.leaves(sweep.params)))
         assert changed
+
+
+def _cdqbm_donor():
+    from qbmx.models.cdqbm import CDQBM
+
+    return CDQBM(image_shape=(5, 5), num_label_nodes=1, kernel_size=2,
+                 pooling_size=2, sequential_layer_sizes=[2],
+                 hidden_bias_type="shared", sample_count=16,
+                 sampler=SASampler(num_sweeps=8, use_pallas=False))
+
+
+def test_reinit_repeats_with_fresh_attempts(rng):
+    """With a never-satisfiable majority threshold and lr=0, the check
+    fires at every epoch but the last; the final params must equal a
+    direct attempt=<n_fires> re-draw (distinct per attempt)."""
+    from qbmx.train.sweep import SeedParallelCDQBM
+
+    x = rng.uniform(0, 1, (8, 5, 5)).astype("float32")
+    y = np.zeros(8, dtype="float32")
+    sweep = SeedParallelCDQBM([0], _cdqbm_donor())
+    sweep.train(x, y, x, y, epochs=4, batch_size=4, learning_rate=0.0,
+                verbose=False, reinit_on_collapse=1)  # fires at 1, 2, 3
+    expect = SeedParallelCDQBM([0], _cdqbm_donor())
+    expect.reinit_seeds([0], attempt=3)
+    for a, b in zip(jax.tree.leaves(sweep.params), jax.tree.leaves(expect.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # attempts are distinct draws
+    other = SeedParallelCDQBM([0], _cdqbm_donor())
+    other.reinit_seeds([0], attempt=2)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in
+               zip(jax.tree.leaves(sweep.params), jax.tree.leaves(other.params)))
