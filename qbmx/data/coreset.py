@@ -16,9 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("budget",))
-def _k_center_greedy_jax(emb: jax.Array, budget: int, first: jax.Array) -> jax.Array:
-    """Greedy max-min selection: returns ``budget`` indices into ``emb``."""
+@partial(jax.jit, static_argnames=("num_new",))
+def _k_center_greedy_jax(emb: jax.Array, num_new: int, seeds: jax.Array) -> jax.Array:
+    """Greedy max-min selection: returns ``num_new`` NEW indices into
+    ``emb``, maximally spread relative to the ``seeds`` centers and to each
+    other (running O(N) min-distance vector)."""
     n = emb.shape[0]
     sq = jnp.sum(emb * emb, axis=1)
 
@@ -27,8 +29,13 @@ def _k_center_greedy_jax(emb: jax.Array, budget: int, first: jax.Array) -> jax.A
         d2 = sq + jnp.dot(c, c) - 2.0 * (emb @ c)
         return jnp.sqrt(jnp.clip(d2, 1e-12))
 
-    mins0 = dist_to(first).at[first].set(-jnp.inf)
-    selected0 = jnp.zeros((budget,), dtype=jnp.int32).at[0].set(first.astype(jnp.int32))
+    def seed_body(i, mins):
+        s = seeds[i]
+        return jnp.minimum(mins, dist_to(s)).at[s].set(-jnp.inf)
+
+    mins0 = jax.lax.fori_loop(
+        0, seeds.shape[0], seed_body, jnp.full((n,), jnp.inf, jnp.float32))
+    selected0 = jnp.zeros((num_new,), dtype=jnp.int32)
 
     def body(i, carry):
         mins, selected = carry
@@ -37,7 +44,7 @@ def _k_center_greedy_jax(emb: jax.Array, budget: int, first: jax.Array) -> jax.A
         mins = jnp.minimum(mins, dist_to(p)).at[p].set(-jnp.inf)
         return mins, selected
 
-    _, selected = jax.lax.fori_loop(1, budget, body, (mins0, selected0))
+    _, selected = jax.lax.fori_loop(0, num_new, body, (mins0, selected0))
     return selected
 
 
@@ -45,14 +52,18 @@ def k_center_greedy(embedding_matrix, budget: int, random_seed=None, index=None,
                     already_selected=None):
     """Greedy k-center selection over row embeddings.
 
-    Matches the reference's semantics: a random seed center is drawn first
-    (counted on top of ``budget``, which the reference increments internally,
-    ``src/coreset.py:41``), then max-min greedy picks.  Returns selected
-    indices (mapped through ``index`` if given).
+    Returns exactly ``min(budget, n)`` sorted indices (through ``index`` if
+    given) — the reference's net behavior: its internal ``budget += 1``
+    (``src/coreset.py:41``) is consumed by the ``mins[select_mask] = +inf``
+    quirk (``:91``) that makes the first greedy argmax re-pick an existing
+    center, so it too ends with exactly ``budget`` distinct points.  ALL
+    ``already_selected`` entries count as centers (distance-initialized and
+    included in the result), matching the reference's ``select_mask``
+    handling; if they already meet the budget they are returned as-is.
     """
     emb = jnp.asarray(np.asarray(embedding_matrix), dtype=jnp.float32)
     n = emb.shape[0]
-    budget = min(budget + 1, n)
+    budget = min(budget, n)
     if index is not None:
         index = np.asarray(index)
         assert len(index) == n
@@ -60,11 +71,15 @@ def k_center_greedy(embedding_matrix, budget: int, random_seed=None, index=None,
         index = np.arange(n)
     rng = np.random.default_rng(random_seed)
     if already_selected:
-        first = int(already_selected[0])
+        seeds = sorted({int(s) for s in already_selected})
     else:
-        first = int(rng.integers(0, n))
-    sel = np.asarray(_k_center_greedy_jax(emb, budget, jnp.asarray(first)))
-    return index[np.unique(sel)]
+        seeds = [int(rng.integers(0, n))]
+    num_new = budget - len(seeds)
+    if num_new <= 0:
+        return index[np.asarray(seeds)]
+    sel = np.asarray(_k_center_greedy_jax(
+        emb, num_new, jnp.asarray(seeds, dtype=jnp.int32)))
+    return index[np.unique(np.concatenate([np.asarray(seeds), sel]))]
 
 
 def downsample_kcenter_with_light_model(qbm, train_x, train_y, budget: int, random_seed: int):

@@ -64,6 +64,10 @@ def _resolve(path: str) -> str:
 
 
 def _subsample_per_class(images, labels, samples_per_class, seed):
+    """Deviation from the reference (``src/data_loader.py:52-58``): a class
+    with fewer than ``samples_per_class`` examples is taken whole instead
+    of raising (np.random.choice with replace=False would) — required for
+    the t10k fallback splits where class sizes are uneven."""
     rng = np.random.default_rng(seed)
     sel_x, sel_y = [], []
     for cls in np.unique(labels):
@@ -166,7 +170,8 @@ def preprocess_images(train_x, test_x, val_x=None, pca_n_components=None, do_fla
     Returns (train, test, val) — one consistent ordering (the reference's
     callers disagreed with its signature, SURVEY.md §2c.6).
     """
-    flat = lambda a: np.asarray([img.ravel() for img in a]) if a is not None else None
+    flat = lambda a: np.ascontiguousarray(
+        np.asarray(a).reshape(len(a), -1)) if a is not None else None
     if do_flatten:
         train_x, test_x, val_x = flat(train_x), flat(test_x), flat(val_x)
     if pca_n_components is not None:
@@ -212,9 +217,12 @@ def get_cifar10(data_dir: str = "cifar-10-batches-py", classes=None, size=None,
 
     root = Path(data_dir)
     if not root.is_dir():
-        alt = find_data_root()
-        if alt is not None and (alt / data_dir).is_dir():
-            root = alt / data_dir
+        # search EVERY candidate root like _resolve does (a partially
+        # populated ./data must not shadow other roots' files)
+        for cand in _DATA_ROOT_CANDIDATES:
+            if cand and (Path(cand) / data_dir).is_dir():
+                root = Path(cand) / data_dir
+                break
         else:
             raise FileNotFoundError(data_dir)
     files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]

@@ -46,8 +46,17 @@ def save_checkpoint(path, model, history: History | None = None, epoch: int = 0)
 
 
 def load_checkpoint(path, model) -> tuple[History | None, int]:
-    """Restore params/RNG into ``model`` in place; returns (history, epoch)."""
+    """Restore params/RNG into ``model`` in place; returns (history, epoch).
+
+    Refuses a checkpoint saved from a different model class — matching
+    param-tree shapes do NOT imply matching semantics (the recorded
+    ``model_class`` exists to catch exactly this)."""
     data = np.load(Path(path) if str(path).endswith(".npz") else Path(str(path) + ".npz"))
+    saved_meta = json.loads(bytes(data["meta_json"]).decode())
+    saved_cls = saved_meta.get("model_class")
+    if saved_cls is not None and saved_cls != type(model).__name__:
+        raise ValueError(
+            f"checkpoint was saved from {saved_cls}, not {type(model).__name__}")
     flat = {k[len("param:"):]: data[k] for k in data.files if k.startswith("param:")}
 
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(model.params)

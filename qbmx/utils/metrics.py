@@ -117,9 +117,11 @@ def save_result(
     ``src/metrics.py:205-236``): weights pickle + ``*_result.txt`` +
     ``*acc_auc.pkl`` + history pickles (+ figures when requested)."""
     acc, f1, precision, recall, auc = get_metrics(y_true, y_predict, class_titles)
+    # the reference fills the "Classes:" slot with the class-title LIST
+    # (``src/metrics.py:209``), not a count — keep result.txt diffable
     result_txt = get_result_as_txt(
         acc, f1, precision, recall, auc,
-        getattr(model, "num_classes", len(class_titles)),
+        class_titles,
         getattr(model, "dim_input", "-"),
         getattr(model, "n_output_nodes", "-"),
         getattr(model, "n_hidden_nodes", "-"),
@@ -140,6 +142,7 @@ def save_result(
     if make_plots:
         from qbmx.utils import plots
 
+        Path(file_path).parent.mkdir(parents=True, exist_ok=True)
         plots.save_all(file_path, history, y_true, y_predict, class_titles)
     return acc, f1, precision, recall, auc
 
@@ -172,5 +175,9 @@ def load_history(file_path_and_name: str) -> History:
     loaded = []
     for name in names:
         p = Path(file_path_and_name + name)
-        loaded.append(pickle.load(open(p, "rb")) if p.exists() else [])
+        if p.exists():
+            with open(p, "rb") as f:
+                loaded.append(pickle.load(f))
+        else:
+            loaded.append([])
     return History(*loaded)

@@ -285,3 +285,43 @@ class TestReviewRegressions:
                         verbose=False)
         # 2 batches ran; per-epoch nll must be the mean of both, not the sum
         assert abs(h.nll_per_epoch[0] - np.mean(h.nll_per_batch)) < 1e-6
+
+
+class TestCoresetExactBudget:
+    def test_returns_exactly_budget_points(self):
+        """The reference's net behavior is EXACTLY budget distinct points
+        (its internal budget+=1 is consumed by the +inf-on-selected quirk
+        that wastes the first argmax, src/coreset.py:41,91)."""
+        pts = np.random.default_rng(2).normal(size=(30, 3)).astype("float32")
+        for b in (1, 4, 11):
+            assert len(k_center_greedy(pts, budget=b, random_seed=0)) == b
+
+    def test_all_already_selected_count_as_centers(self):
+        pts = np.asarray([[0, 0], [10, 0], [0, 10], [10, 10], [0.1, 0.1],
+                          [9.9, 0.1]], dtype="float32")
+        idx = k_center_greedy(pts, budget=4, already_selected=[0, 1])
+        assert 0 in idx and 1 in idx and len(idx) == 4
+        # points 4 and 5 sit on top of the seeds — max-min must avoid them
+        assert 4 not in idx and 5 not in idx
+        # seeds alone meeting the budget are returned as-is
+        np.testing.assert_array_equal(
+            k_center_greedy(pts, budget=2, already_selected=[2, 3]), [2, 3])
+
+
+class TestCheckpointClassGuard:
+    def test_wrong_model_class_rejected(self, tmp_path):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import SASampler
+        from qbmx.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        m = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=8,
+                    restricted=False,
+                    sampler=SASampler(num_sweeps=4, use_pallas=False))
+        save_checkpoint(tmp_path / "ck", m, epoch=1)
+
+        class NotADQBM:
+            params = m.params
+            key = m.key
+
+        with pytest.raises(ValueError, match="saved from"):
+            load_checkpoint(tmp_path / "ck", NotADQBM())
