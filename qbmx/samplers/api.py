@@ -58,6 +58,50 @@ def sampler_scan_safe(sampler, n: int, num_reads: int) -> bool:
     return bool(scan_safe(n, num_reads)) if scan_safe is not None else True
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _pack_fits_vmem(n: int, B: int, num_reads: int) -> bool:
+    """Does the CHOSEN pack geometry fit the kernel's VMEM rules?  A single
+    pack gets the full budget; a multi-pack grid double-buffers its blocks
+    under the compiler's 16 MiB scoped-VMEM limit (pack_geometry enforces
+    the same split, but its P=1 fallback can still exceed it — callers
+    decline here so such shapes go to XLA instead of a compile-time OOM)."""
+    from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
+
+    stride, P, N = pack_geometry(n, batch=B, reads=num_reads)
+    R = -(-num_reads // 128) * 128
+    if B > P:  # multi-pack grid
+        return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
+    return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
+
+
+def _auto_route_packed(Q, num_reads: int, use_pallas: bool | None) -> bool:
+    """Shared SA/BMS Pallas-vs-XLA routing (the two rules share the packed
+    kernel machinery and their XLA fallbacks share the one-variable-per-
+    step structure, so the measured crossover points carry over)."""
+    if use_pallas is not None:
+        return use_pallas
+    if not _on_tpu():
+        return False
+    # Large batches with few reads belong to the XLA sampler: its
+    # batched-matvec VPU path does only USEFUL work and saturates with
+    # batch, while the packed kernel pays a 1/P useful-flop ratio per
+    # pack and runs packs sequentially.  Measured on v5e (1000-sweep
+    # equiv): B=600 n=41 R=100 xla 2.2x faster (192 vs 420 us/sweep);
+    # B=1200 n=6 R=128 xla 1.4x (49 vs 71 ms).  With many reads the
+    # kernel's per-read cost is ~flat while xla's is linear in R, so
+    # Pallas keeps those (B=1200 n=6 R=1000: pallas 4x faster).
+    B = int(Q.shape[0])
+    if num_reads <= 128 and B >= 256:
+        return False
+    return _pack_fits_vmem(int(Q.shape[-1]), B, num_reads)
+
+
 @dataclasses.dataclass(frozen=True)
 class SASampler:
     """Annealed Metropolis sampler (neal-equivalent). ``num_sweeps`` matches
@@ -80,65 +124,89 @@ class SASampler:
         return not self._pallas_enabled(probe, num_reads)
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
-        if self.use_pallas is not None:
-            return self.use_pallas
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            return False
-        if platform not in ("tpu",):
-            return False
-        # Large batches with few reads belong to the XLA sampler: its
-        # batched-matvec VPU path does only USEFUL work and saturates with
-        # batch, while the packed kernel pays a 1/P useful-flop ratio per
-        # pack and runs packs sequentially.  Measured on v5e (1000-sweep
-        # equiv): B=600 n=41 R=100 xla 2.2x faster (192 vs 420 us/sweep);
-        # B=1200 n=6 R=128 xla 1.4x (49 vs 71 ms).  With many reads the
-        # kernel's per-read cost is ~flat while xla's is linear in R, so
-        # Pallas keeps those (B=1200 n=6 R=1000: pallas 4x faster).
-        B = int(Q.shape[0])
-        if num_reads <= 128 and B >= 256:
-            return False
-        # Otherwise route on the CHOSEN pack geometry's own VMEM rules:
-        # a single pack gets the full budget; a multi-pack grid double-
-        # buffers its blocks under the compiler's 16 MiB scoped-VMEM limit
-        # (pack_geometry enforces the same split, but its P=1 fallback can
-        # still exceed it — decline here so such shapes go to XLA instead
-        # of a compile-time OOM).
-        from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
-
-        stride, P, N = pack_geometry(int(Q.shape[-1]), batch=B, reads=num_reads)
-        R = -(-num_reads // 128) * 128
-        if B > P:  # multi-pack grid
-            return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
-        return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
+        return _auto_route_packed(Q, num_reads, self.use_pallas)
 
 
 @dataclasses.dataclass(frozen=True)
 class GibbsSampler:
-    """Annealed heat-bath sampler — the "BMS" solver equivalent."""
+    """Annealed heat-bath sampler — the "BMS" solver equivalent.  Routes to
+    the packed Pallas kernel's heat-bath rule on TPU (VERDICT r2 #1: the
+    XLA one-variable-per-step path made BMS ~25× slower than SA)."""
 
     num_warmup: int = 64
     beta: float = 1.0
+    use_pallas: bool | None = None
 
     def sample_batch(self, key, Q, num_reads):
+        if self._pallas_enabled(Q, num_reads):
+            from qbmx.samplers import sa_pallas
+
+            return sa_pallas.gibbs_sample_batch_pallas(
+                key, Q, num_reads, self.num_warmup, self.beta
+            )
         return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup, self.beta)
+
+    def scan_safe(self, n: int, num_reads: int) -> bool:
+        probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
+
+    def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
+        return _auto_route_packed(Q, num_reads, self.use_pallas)
 
 
 @dataclasses.dataclass(frozen=True)
 class PTSampler:
     """Parallel-tempering (replica exchange) sampler at a target beta —
-    better mixing than one-way annealing on frustrated landscapes."""
+    better mixing than one-way annealing on frustrated landscapes.  On TPU
+    the ladders ride the packed kernel (rungs as pack slots, in-kernel
+    exchange) whenever ``num_replicas`` is a power of two dividing the pack
+    geometry; otherwise the XLA path runs."""
 
     num_sweeps: int = 64
     num_replicas: int = 8
     beta_target: float = 1.0
+    use_pallas: bool | None = None
 
     def sample_batch(self, key, Q, num_reads):
+        if self._pallas_enabled(Q, num_reads):
+            from qbmx.samplers import sa_pallas
+
+            return sa_pallas.pt_sample_batch_pallas(
+                key, Q, num_reads, self.num_sweeps,
+                self.num_replicas, self.beta_target,
+            )
         from qbmx.samplers.tempering import pt_sample_batch
 
         return pt_sample_batch(key, Q, num_reads, self.num_sweeps,
                                self.num_replicas, self.beta_target)
+
+    def scan_safe(self, n: int, num_reads: int) -> bool:
+        probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
+
+    def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if not _on_tpu():
+            return False
+        M = self.num_replicas
+        if M < 2 or (M & (M - 1)):
+            return False  # rung packing needs a power-of-two ladder
+        from qbmx.samplers.sa_pallas import pack_geometry
+
+        n = int(Q.shape[-1])
+        B = int(Q.shape[0]) * M  # expanded problem axis: ladders × rungs
+        stride, P, N = pack_geometry(n, batch=B, reads=num_reads, min_p=M)
+        if P % M:
+            return False  # ladders would straddle pack boundaries
+        # No large-batch XLA preference here: the XLA PT path pays M rungs
+        # of the slow per-variable scan, so the kernel wins whenever it fits.
+        R = -(-num_reads // 128) * 128
+        from qbmx.samplers.sa_pallas import _VMEM_BUDGET
+
+        if B > P:  # multi-pack grid (same scoped-VMEM rule as _pack_fits_vmem)
+            return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
+        return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,12 +245,14 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         return GibbsSampler(
             num_warmup=kwargs.get("num_warmup", num_sweeps),
             beta=kwargs.get("beta", 1.0),
+            use_pallas=kwargs.get("use_pallas"),
         )
     if s == "PT":
         return PTSampler(
             num_sweeps=kwargs.get("num_warmup", num_sweeps),
             num_replicas=kwargs.get("num_replicas", 8),
             beta_target=kwargs.get("beta", 1.0),
+            use_pallas=kwargs.get("use_pallas"),
         )
     if s == "EXACT":
         return ExactSampler(beta=kwargs.get("beta", 1.0))

@@ -21,13 +21,19 @@ from qbmx.core.qubo import default_beta_range, geometric_beta_schedule, split_qu
 
 
 def _heat_bath_sweep(s, u, beta, h, J):
-    """One sequential heat-bath sweep across all chains. Shapes as in sa_jax."""
+    """One sequential heat-bath sweep across all chains. Shapes as in sa_jax.
+
+    Acceptance uses the threshold form: ``u < σ(-beta*field)`` is exactly
+    ``field < (log(1-u) - log(u))/beta`` for u ∈ [0,1) and beta > 0, so the
+    thresholds are precomputed ONCE per sweep and each variable step costs
+    one compare instead of sigmoid+compare.  The Pallas kernel uses the
+    SAME formulation (the CI debug tests lock the two bit-for-bit)."""
     n = h.shape[0]
+    thresh = (jnp.log(1.0 - u) - jnp.log(u)) / beta  # (n, R)
 
     def body(i, s):
         field = h[i] + jnp.dot(s, J[i], precision="highest")  # (R,)
-        p1 = jax.nn.sigmoid(-beta * field)
-        return s.at[:, i].set((u[i] < p1).astype(s.dtype))
+        return s.at[:, i].set((field < thresh[i]).astype(s.dtype))
 
     return jax.lax.fori_loop(0, n, body, s)
 

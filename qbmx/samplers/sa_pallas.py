@@ -1,14 +1,20 @@
-"""Pallas TPU kernel for batched simulated annealing.
+"""Pallas TPU kernel for batched annealed sampling (SA / BMS / PT).
 
-The on-chip replacement for dwave-neal's C++ Metropolis core (SURVEY.md §2a:
-"this is the performance core — sampling is ~80% of wall time").
+The on-chip replacement for the reference's sampling cores: dwave-neal's
+C++ Metropolis SA (SURVEY.md §2a: "this is the performance core — sampling
+is ~80% of wall time"), the local ``BoltzmannSampler`` "BMS" heat-bath
+solver (``src/model/faster_dqbm.py:622-653``), and — beyond the reference —
+parallel tempering.  One kernel serves all three: the Metropolis and
+heat-bath update rules share the packed block-sweep machinery (only the
+acceptance comparison differs), and PT adds fixed per-rung temperatures
+plus an in-kernel replica-exchange step.
 
 Design: **interleaved block-diagonal problem packing.**  P QUBOs are packed
 into one coupling tile with variables ordered *step-major*: row ``i*P + p``
-is variable ``i`` of packed problem ``p``.  One Metropolis step then updates
+is variable ``i`` of packed problem ``p``.  One update step then touches
 variable ``i`` of all P problems across all chains with
 
-  * a contiguous-sublane slice of P rows (state, uniforms, schedule), and
+  * a contiguous-sublane slice of P rows (state, thresholds, schedule), and
   * a single ``(P, N) @ (N, R)`` MXU matmul for the local fields
 
 — the TPU-native analogue of the reference's Pegasus chip-partitioning trick
@@ -17,6 +23,22 @@ variable ``i`` of all P problems across all chains with
 Because each row is touched at exactly one step per sweep, the uniform
 variates for a whole sweep are drawn once as an (N, R) block.
 
+Update rules (chosen statically):
+  * ``"metropolis"`` — neal semantics: flip var i iff
+    ``u < exp(-beta*max(delta,0))`` ⟺ ``delta < -log(u)/beta``.
+  * ``"heatbath"`` — BMS semantics (``src/model/faster_dqbm.py:622-653``):
+    resample var i from its conditional ``p(s_i=1|rest) = σ(-beta*field)``
+    ⟺ ``s_i = (field < (log(1-u)-log(u))/beta)``.  Same packed machinery,
+    one compare per sub-step; ``qbmx.samplers.gibbs`` uses the identical
+    threshold form so the CI debug tests lock them bit-for-bit.
+
+Parallel tempering (``M = num_replicas > 0``): each problem's M rungs are
+packed as M consecutive pack slots at fixed per-slot betas; per-slot
+energies are tracked incrementally in a (P, R) VMEM scratch (each accepted
+update adds ``ds·field``), and after every sweep adjacent rungs
+(alternating parity) exchange *states* with the Metropolis swap rule
+``dβ·dE < -log(u)`` — sublane rolls move both states and energies.
+
 Other kernel notes:
   * Variables on sublanes, chains on lanes; state lives in the output ref and
     is updated via ``pl.ds`` sublane slices (Mosaic-friendly).
@@ -24,7 +46,8 @@ Other kernel notes:
     variable per problem (step-``n`` rows, never updated).
   * Per-problem geometric beta schedules (neal-style default range) are
     evaluated in-kernel from per-row (hot, log-ratio) params — a (S, N)
-    table would lane-pad 128× in VMEM.
+    table would lane-pad 128× in VMEM.  PT reuses the two per-row slots as
+    (fixed beta, link dβ) instead.
   * On-chip PRNG seeded per grid program; every chain/row draws independent
     uniforms (the reference reused one seed across its 10 SA workers,
     SURVEY.md §2c.4).
@@ -72,12 +95,15 @@ _VMEM_BUDGET = 48 * 2**20
 
 
 def pack_geometry(n: int, batch: int | None = None,
-                  reads: int | None = None) -> tuple[int, int, int]:
+                  reads: int | None = None,
+                  min_p: int = 1) -> tuple[int, int, int]:
     """(stride, P, N): per-problem variable slots, problems per pack, padded
     pack size.  P must be 1 or a multiple of 8 (Mosaic sublane alignment);
     it is chosen from the measured routing rules above, capped at the
     batch's next power of two (packing more than the batch pads dead
-    problems) and by VMEM."""
+    problems) and by VMEM.  ``min_p`` lifts the batch cap up to that floor —
+    PT passes its ladder size so whole ladders fit one pack even for tiny
+    batches (padding dead slots is the price of rung packing there)."""
     stride = _round_up(n + 1, 8)  # +1 = always-one bias variable
     B = 64 if batch is None else max(int(batch), 1)
     Rr = _round_up(reads if reads else 128, 128)
@@ -85,8 +111,9 @@ def pack_geometry(n: int, batch: int | None = None,
         P = 128 // stride  # one row tile; the masked strategy handles it
         return stride, P, _round_up(stride * P, 128)
     P_best, N_best = 1, _round_up(stride, 128)
+    cap = _pow2_ceil(B) if min_p <= 1 else max(_pow2_ceil(B), min_p, 8)
     for P in (8, 16, 32, 64, 128):
-        if P > _pow2_ceil(B):
+        if P > cap:
             break
         N = _round_up(stride * P, 128)
         if P * N * Rr > _MXU_WORK_BUDGET:
@@ -118,8 +145,18 @@ def block_vars(P: int) -> int:
     return 16  # P == 1: BS = 16 rows, 8-aligned
 
 
+def _roll_rows(x, shift: int):
+    """Circular sublane shift: ``out[r] = x[r - shift]`` (jnp.roll
+    semantics on axis 0).  jnp.roll lowers to static slice+concat which
+    Mosaic handles; hardware equivalence with the interpreter is pinned by
+    the roll check in the TPU test tier (tests/test_tpu_hardware.py)."""
+    return jnp.roll(x, shift, axis=0)
+
+
 def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
-               P: int, num_sweeps: int, use_mask: bool, debug: bool = False):
+               P: int, num_sweeps: int, use_mask: bool,
+               rule: str = "metropolis", M: int = 0, stride: int = 0,
+               debug: bool = False):
     """One pack of P problems, interleaved layout.
 
     J_ref (1, N, N): couplings, row i*P+p = var i of problem p;
@@ -127,13 +164,22 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
     within-block couplings the block-sweep corrections need — Mosaic
     forbids dynamic lane slicing of J itself);
     hot/logr (1, N, 1): per-row schedule params; out (1, N, R) state;
-    u_ref (N, R) scratch for per-sweep uniforms.
+    u_ref (N, R) scratch for per-sweep acceptance thresholds.
+
+    ``rule`` picks the update: Metropolis threshold on the flip delta, or
+    heat-bath threshold on the local field (see module docstring).
+
+    ``M > 0`` enables parallel tempering: the P pack slots are P/M ladders
+    of M rungs; hot_ref carries the fixed per-slot beta and logr_ref the
+    per-slot link spacing dβ = β[slot+1]-β[slot]; E_ref (P, R) scratch
+    tracks per-slot energies incrementally and a post-sweep exchange step
+    swaps states/energies of accepted adjacent rungs (alternating parity).
 
     Two per-step strategies (chosen statically, measured on v5e):
       * use_mask (small strides AND one lane tile of chains): full
         (N,N)@(N,R) matmul + masked flip — static full-tile ops only.
       * block-sweep (everything else): K = BS/P variables fuse into ONE
-        (BS,N)@(N,R) field matmul; the K Metropolis sub-steps then run
+        (BS,N)@(N,R) field matmul; the K update sub-steps then run
         statically unrolled, each correcting the remaining in-block fields
         with a small (BS,P)@(P,R) rank-update from the accepted flips
         (J is symmetric; only the diagonal BS×BS block is ever needed).
@@ -141,15 +187,25 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
         (VERDICT r1 #6: 2.3× at the n=41 CDQBM shape, see PERFORMANCE.md).
 
     ``debug=True`` (the CI path, VERDICT r1 #4): the init bits (1, N, R)
-    and the per-sweep uniforms (1, S, N, R) arrive as host-supplied inputs
-    instead of ``pltpu.prng_random_bits``, so the Metropolis update math
-    runs under ``interpret=True`` on CPU and is regression-locked against
-    ``sa_jax._metropolis_sweep`` given the same variates.
+    and the per-sweep uniforms (1, S, N, R) — plus, for PT, the per-sweep
+    swap uniforms (1, S, P, R) — arrive as host-supplied inputs instead of
+    ``pltpu.prng_random_bits``, so the update math runs under
+    ``interpret=True`` on CPU and is regression-locked against
+    ``sa_jax._metropolis_sweep`` / ``gibbs._heat_bath_sweep`` given the
+    same variates.
     """
+    pt = M > 0
+    assert not (pt and use_mask), "PT requires the block-sweep strategy"
     if debug:
-        init_ref, u_all_ref, out_ref, u_ref = rest
+        if pt:
+            init_ref, u_all_ref, swap_all_ref, out_ref, u_ref, E_ref = rest
+        else:
+            init_ref, u_all_ref, out_ref, u_ref = rest
     else:
-        out_ref, u_ref = rest
+        if pt:
+            out_ref, u_ref, E_ref = rest
+        else:
+            out_ref, u_ref = rest
     g = pl.program_id(0)
     N = out_ref.shape[1]
     R = out_ref.shape[2]
@@ -179,32 +235,56 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
     hot = hot_ref[0]  # (N, 1)
     logr = logr_ref[0]
 
+    if pt:
+        # initial per-slot energies: E = ½ sᵀ J s summed over each slot's
+        # rows (J_int carries h on the bias row/col, so this is the full
+        # QUBO energy of the slot's configuration)
+        s0 = out_ref[0]
+        f0 = jnp.dot(J_ref[0], s0, preferred_element_type=jnp.float32)
+        contrib = 0.5 * s0 * f0  # (N, R)
+        E0 = contrib[0:P, :]
+        for i in range(1, stride):  # static unroll over variable steps
+            E0 = E0 + contrib[i * P:(i + 1) * P, :]
+        E_ref[...] = E0
+
     def sweep_body(t, carry):
         frac = t.astype(jnp.float32) * inv_span
         # one (N, R) block of uniforms serves the whole sweep: each row is
-        # Metropolis-updated at exactly one step (its own variable index).
-        # The uniforms are converted to ACCEPTANCE THRESHOLDS up front:
-        # u < exp(-beta*max(delta,0))  ⟺  delta < -log(u)/beta  for
-        # u ∈ [0,1), beta > 0 — one compare per sub-step instead of
-        # exp+max+compare, and no per-sub-step schedule reads.  sa_jax
-        # uses the same formulation (CI debug tests lock them bit-for-bit).
+        # updated at exactly one step (its own variable index).  The
+        # uniforms are converted to ACCEPTANCE THRESHOLDS up front —
+        # Metropolis: u < exp(-beta*max(delta,0))  ⟺  delta < -log(u)/beta;
+        # heat-bath: u < σ(-beta*field)  ⟺  field < (log(1-u)-log(u))/beta
+        # for u ∈ [0,1), beta > 0 — one compare per sub-step instead of
+        # exp/sigmoid+compare, and no per-sub-step schedule reads.  sa_jax
+        # and gibbs use the same formulations (CI debug tests lock them
+        # bit-for-bit).
         if debug:
             u = u_all_ref[0, t]
         else:
             ubits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
             u = pltpu.bitcast(ubits >> 8, jnp.int32).astype(jnp.float32) * inv24
-        beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
-        u_ref[...] = -jnp.log(u) / beta_rows
+        if pt:
+            beta_rows = hot  # fixed per-rung temperatures, no annealing
+        else:
+            beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
+        if rule == "metropolis":
+            u_ref[...] = -jnp.log(u) / beta_rows
+        else:
+            u_ref[...] = (jnp.log(1.0 - u) - jnp.log(u)) / beta_rows
 
         if use_mask:
 
             def var_body(i, carry):
                 s = out_ref[0]
                 field = jnp.dot(J, s, preferred_element_type=jnp.float32)
-                delta = (1.0 - 2.0 * s) * field
-                accept = delta < u_ref[...]
-                flip = jnp.logical_and(accept, step_of_row == i)
-                out_ref[0] = jnp.where(flip, 1.0 - s, s)
+                if rule == "metropolis":
+                    delta = (1.0 - 2.0 * s) * field
+                    accept = delta < u_ref[...]
+                    flip = jnp.logical_and(accept, step_of_row == i)
+                    out_ref[0] = jnp.where(flip, 1.0 - s, s)
+                else:
+                    new = (field < u_ref[...]).astype(jnp.float32)
+                    out_ref[0] = jnp.where(step_of_row == i, new, s)
                 return carry
 
             return jax.lax.fori_loop(0, n, var_body, carry)
@@ -220,11 +300,20 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                 rj = r0 + j * P
                 rows = pl.ds(pl.multiple_of(rj, 8) if P % 8 == 0 else rj, P)
                 s_blk = out_ref[0, rows, :]  # (P, R)
-                c = 1.0 - 2.0 * s_blk  # flip direction ±1
-                delta = c * F[j * P : (j + 1) * P, :]
-                accept = delta < u_ref[rows, :]
-                ds = jnp.where(accept, c, 0.0)
-                out_ref[0, rows, :] = s_blk + ds
+                f = F[j * P : (j + 1) * P, :]
+                if rule == "metropolis":
+                    c = 1.0 - 2.0 * s_blk  # flip direction ±1
+                    delta = c * f
+                    accept = delta < u_ref[rows, :]
+                    ds = jnp.where(accept, c, 0.0)
+                    out_ref[0, rows, :] = s_blk + ds
+                else:
+                    new = (f < u_ref[rows, :]).astype(jnp.float32)
+                    ds = new - s_blk
+                    out_ref[0, rows, :] = new
+                if pt:
+                    # incremental energy: ΔE of the accepted updates
+                    E_ref[...] = E_ref[...] + ds * f
                 if j < k_here - 1:
                     # correct remaining in-block fields: F += J[:, cols_j] @ ds
                     F = F + jnp.dot(Jd[:, j * P : (j + 1) * P], ds,
@@ -237,6 +326,42 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
         carry = jax.lax.fori_loop(0, nb_full, block_body, carry)
         if rem:
             do_block(nb_full, nb_full * BS, rem)  # static tail block
+
+        if pt:
+            # replica exchange: adjacent rungs (alternating parity) swap
+            # states with p = min(1, exp(-dβ·dE)) ⟺ dβ·dE < -log(u)
+            parity = t % 2
+            d_beta = logr[0:P, :]  # (P, 1): per-slot link spacing
+            E = E_ref[...]
+            E_up = _roll_rows(E, -1)  # E[p+1] on row p
+            E_dn = _roll_rows(E, 1)
+            if debug:
+                usw = swap_all_ref[0, t]  # (P, R)
+            else:
+                swb = pltpu.bitcast(pltpu.prng_random_bits((P, R)), jnp.uint32)
+                usw = pltpu.bitcast(swb >> 8, jnp.int32).astype(jnp.float32) * inv24
+            rung = jax.lax.broadcasted_iota(jnp.int32, (P, R), 0) % M
+            link_ok = jnp.logical_and(rung < M - 1, (rung % 2) == parity)
+            dE = E - E_up
+            acc = jnp.logical_and(
+                link_ok, d_beta * dE < -jnp.log(usw)
+            ).astype(jnp.float32)
+            acc_dn = _roll_rows(acc, 1)  # link p-1 accepted, seen from slot p
+            E_ref[...] = E + acc * (E_up - E) + acc_dn * (E_dn - E)
+            # expand the per-slot swap mask to all N rows (row i*P+p belongs
+            # to slot p) via the now-free threshold scratch
+            for i in range(stride):  # static unroll
+                u_ref[i * P:(i + 1) * P, :] = acc
+            if stride * P < N:
+                u_ref[stride * P:N, :] = jnp.zeros(
+                    (N - stride * P, R), jnp.float32
+                )
+            m_up = u_ref[...]
+            m_dn = _roll_rows(m_up, 1)
+            s = out_ref[0]
+            s_up = _roll_rows(s, -1)
+            s_dn = _roll_rows(s, 1)
+            out_ref[0] = s + m_up * (s_up - s) + m_dn * (s_dn - s)
         return carry
 
     jax.lax.fori_loop(0, num_sweeps, sweep_body, 0)
@@ -257,30 +382,25 @@ def _interleave_rows(A, G, P, stride, N, R, fill):
                    constant_values=fill)
 
 
-@partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "interpret"))
-def sa_sample_batch_pallas(
-    key: jax.Array,
-    Q: jax.Array,
-    num_reads: int,
-    num_sweeps: int,
-    interpret: bool = False,
-    debug_randoms=None,
-) -> jax.Array:
-    """Batched SA on TPU via Pallas: ``Q`` (B, n, n) → (B, num_reads, n).
+def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
+                rule: str, M: int = 0, interpret: bool = False,
+                debug_randoms=None):
+    """Shared packing + pallas_call driver for all three samplers.
 
-    Semantics match :func:`qbmx.samplers.sa_jax.sa_sample_batch` (validated
-    against the exact oracle on hardware); only the execution strategy
-    differs.
-
-    ``debug_randoms`` (CI path): a ``(init01, uniforms)`` pair of
-    host-supplied variates — ``init01`` (B, num_reads, n) in {0,1} and
-    ``uniforms`` (num_sweeps, B, n, num_reads) in [0,1) — replacing the
-    on-chip PRNG so the kernel runs under ``interpret=True`` on CPU and its
-    trajectories can be checked against ``sa_jax`` exactly.
+    ``hot_v``/``logr_v``: per-problem (B,) schedule params — (β_hot,
+    log(β_cold/β_hot)) for annealed rules, (fixed per-slot β, link dβ) for
+    PT (``M > 0``, where B counts *expanded* problems = ladders × rungs).
+    Returns problem-major samples (B, num_reads, n).
     """
     B, n = Q.shape[0], Q.shape[-1]
-    stride, P, N = pack_geometry(n, batch=B, reads=num_reads)
+    stride, P, N = pack_geometry(n, batch=B, reads=num_reads, min_p=M)
     R = _round_up(num_reads, 128)
+    pt = M > 0
+    if pt:
+        assert P % M == 0, (
+            f"PT pack geometry P={P} must be a multiple of num_replicas={M} "
+            "(the PTSampler routing pre-checks this)"
+        )
     G = -(-B // P)  # number of packs
     Bp = G * P
 
@@ -301,13 +421,11 @@ def sa_sample_batch_pallas(
     J_int = J_int.reshape(G, P * stride, P * stride)
     J_int = jnp.pad(J_int, ((0, 0), (0, N - P * stride), (0, N - P * stride)))
 
-    beta_hot, beta_cold = default_beta_range(Q)  # (B,)
-    if num_sweeps == 1:
-        beta_hot = beta_cold  # match sa_jax: a single sweep runs cold
-    pad_ones = jnp.ones((Bp - B,), dtype=jnp.float32)
-    beta_hot = jnp.concatenate([beta_hot.astype(jnp.float32), pad_ones])
-    beta_cold = jnp.concatenate([beta_cold.astype(jnp.float32), 2 * pad_ones])
-    log_ratio = jnp.log(beta_cold / beta_hot)
+    pad_fill = jnp.ones((Bp - B,), dtype=jnp.float32)
+    hot_v = jnp.concatenate([hot_v.astype(jnp.float32), pad_fill])
+    logr_v = jnp.concatenate(
+        [logr_v.astype(jnp.float32), jnp.zeros_like(pad_fill) if pt else pad_fill]
+    )
 
     def per_row(v):  # (Bp,) -> (G, N, 1), interleaved: row i*P+p = problem p
         v = jnp.tile(v.reshape(G, 1, P), (1, stride, 1)).reshape(G, P * stride)
@@ -323,9 +441,12 @@ def sa_sample_batch_pallas(
         pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N, N), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [seed, per_row(beta_hot), per_row(log_ratio), J_int]
+    operands = [seed, per_row(hot_v), per_row(logr_v), J_int]
     if debug:
-        init01, uniforms = debug_randoms
+        if pt:
+            init01, uniforms, swap_u = debug_randoms
+        else:
+            init01, uniforms = debug_randoms
         init = jnp.swapaxes(init01.astype(jnp.float32), 1, 2)  # (B, n, reads)
         init = jnp.pad(init, ((0, Bp - B), (0, 0), (0, 0)))
         init_p = _interleave_rows(init, G, P, stride, N, R, fill=0.0)
@@ -340,13 +461,25 @@ def sa_sample_batch_pallas(
             pl.BlockSpec((1, S, N, R), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
         ]
         operands += [init_p, u_p]
+        if pt:
+            # (S, B, reads) per-slot swap uniforms → (G, S, P, R)
+            sw = jnp.pad(swap_u.astype(jnp.float32),
+                         ((0, 0), (0, Bp - B), (0, R - num_reads)),
+                         constant_values=1.0)
+            sw_p = jnp.moveaxis(sw.reshape(S, G, P, R), 0, 1)
+            in_specs += [
+                pl.BlockSpec((1, S, P, R), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands += [sw_p]
 
     # Strategy choice (measured on v5e): the masked full-tile update wins on
     # small strides ONLY while the chain block is one lane tile — its
     # (N,N)@(N,R) per-step matmul scales with R, the block-sweep path's
     # is ~flat (mask 8.2ms vs 10.7ms at R=128, but 320ms vs 10.7ms at
-    # R=1024; B=120, n=6, 1000 sweeps).
-    use_mask = stride <= 16 and R <= 128
+    # R=1024; B=120, n=6, 1000 sweeps).  PT always uses the block path
+    # (the exchange step needs the per-slot energy machinery).
+    use_mask = stride <= 16 and R <= 128 and not pt
 
     if use_mask:
         # the masked strategy never reads Jd — pass a minimal placeholder
@@ -370,14 +503,18 @@ def sa_sample_batch_pallas(
     in_specs.insert(4, jd_spec)
     operands.insert(4, Jd)
 
+    scratch_shapes = [pltpu.VMEM((N, R), jnp.float32)]
+    if pt:
+        scratch_shapes.append(pltpu.VMEM((P, R), jnp.float32))
+
     out = pl.pallas_call(
         partial(_sa_kernel, n=n, P=P, num_sweeps=num_sweeps,
-                use_mask=use_mask, debug=debug),
+                use_mask=use_mask, rule=rule, M=M, stride=stride, debug=debug),
         grid=(G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, N, R), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, N, R), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, R), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
 
@@ -385,3 +522,107 @@ def sa_sample_batch_pallas(
     out = out[:, : P * stride, :].reshape(G, stride, P, R)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(Bp, stride, R)
     return jnp.swapaxes(out[:B, :n, :num_reads], 1, 2)
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "interpret"))
+def sa_sample_batch_pallas(
+    key: jax.Array,
+    Q: jax.Array,
+    num_reads: int,
+    num_sweeps: int,
+    interpret: bool = False,
+    debug_randoms=None,
+) -> jax.Array:
+    """Batched SA on TPU via Pallas: ``Q`` (B, n, n) → (B, num_reads, n).
+
+    Semantics match :func:`qbmx.samplers.sa_jax.sa_sample_batch` (validated
+    against the exact oracle on hardware); only the execution strategy
+    differs.
+
+    ``debug_randoms`` (CI path): a ``(init01, uniforms)`` pair of
+    host-supplied variates — ``init01`` (B, num_reads, n) in {0,1} and
+    ``uniforms`` (num_sweeps, B, n, num_reads) in [0,1) — replacing the
+    on-chip PRNG so the kernel runs under ``interpret=True`` on CPU and its
+    trajectories can be checked against ``sa_jax`` exactly.
+    """
+    beta_hot, beta_cold = default_beta_range(Q)  # (B,)
+    if num_sweeps == 1:
+        beta_hot = beta_cold  # match sa_jax: a single sweep runs cold
+    logr = jnp.log(beta_cold.astype(jnp.float32) / beta_hot.astype(jnp.float32))
+    return _run_packed(key, Q, num_reads, num_sweeps, beta_hot, logr,
+                       "metropolis", interpret=interpret,
+                       debug_randoms=debug_randoms)
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "interpret"))
+def gibbs_sample_batch_pallas(
+    key: jax.Array,
+    Q: jax.Array,
+    num_reads: int,
+    num_warmup: int = 64,
+    beta: float = 1.0,
+    interpret: bool = False,
+    debug_randoms=None,
+) -> jax.Array:
+    """Batched annealed heat-bath ("BMS") on TPU: (B, n, n) → (B, reads, n).
+
+    Semantics match :func:`qbmx.samplers.gibbs.gibbs_sample_batch`: each
+    read is an independent chain annealed from ``min(default_hot, beta)``
+    to the target ``beta`` over ``num_warmup`` sweeps, then read out once.
+    Only the execution strategy differs (packed block-sweep kernel vs the
+    XLA one-variable-per-step path — VERDICT r2 "What's weak" #1: the XLA
+    path made the BMS 10-seed sweep ~25× slower than SA's).
+    """
+    hot0, _ = default_beta_range(Q)
+    beta_t = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), hot0.shape)
+    beta_hot = jnp.minimum(hot0.astype(jnp.float32), beta_t)
+    if num_warmup == 1:
+        beta_hot = beta_t  # single sweep runs at the target temperature
+    logr = jnp.log(beta_t / beta_hot)
+    return _run_packed(key, Q, num_reads, num_warmup, beta_hot, logr,
+                       "heatbath", interpret=interpret,
+                       debug_randoms=debug_randoms)
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "num_replicas",
+                                   "interpret"))
+def pt_sample_batch_pallas(
+    key: jax.Array,
+    Q: jax.Array,
+    num_reads: int,
+    num_sweeps: int = 64,
+    num_replicas: int = 8,
+    beta_target: float = 1.0,
+    interpret: bool = False,
+    debug_randoms=None,
+) -> jax.Array:
+    """Batched parallel tempering on TPU: (B, n, n) → (B, num_reads, n).
+
+    Semantics match :func:`qbmx.samplers.tempering.pt_sample_batch`: per
+    read, ``num_replicas`` rungs on a geometric beta grid from
+    ``min(default_hot, beta_target/2)`` to ``beta_target`` run heat-bath
+    sweeps with alternating-parity replica exchange; the target rung is
+    returned.  Rungs are packed as consecutive pack slots, so the exchange
+    is a masked sublane roll (see module docstring).
+
+    ``num_replicas`` must divide the pack geometry's P (powers of two ≤ P;
+    the PTSampler routing pre-checks and falls back to XLA otherwise).
+
+    ``debug_randoms`` (CI path): ``(init01, uniforms, swap_u)`` with the
+    first two shaped for the *expanded* problem axis (B·M) and
+    ``swap_u`` (num_sweeps, B·M, num_reads).
+    """
+    B = Q.shape[0]
+    M = num_replicas
+    hot0, _ = default_beta_range(Q)
+    bt = jnp.asarray(beta_target, jnp.float32)
+    beta_hot = jnp.minimum(hot0.astype(jnp.float32), bt * 0.5)
+    t = jnp.arange(M, dtype=jnp.float32) / max(M - 1, 1)
+    log_hot = jnp.log(beta_hot)[:, None]
+    betas = jnp.exp(log_hot + t[None, :] * (jnp.log(bt) - log_hot))  # (B, M)
+    dbeta = jnp.pad(betas[:, 1:] - betas[:, :-1], ((0, 0), (0, 1)))  # last link unused
+    Qx = jnp.repeat(Q, M, axis=0)  # (B*M, n, n): slot b*M+m = problem b rung m
+    out = _run_packed(key, Qx, num_reads, num_sweeps, betas.reshape(-1),
+                      dbeta.reshape(-1), "heatbath", M=M,
+                      interpret=interpret, debug_randoms=debug_randoms)
+    return out[M - 1::M]  # the target-beta rung of each ladder

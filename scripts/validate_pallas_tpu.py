@@ -24,8 +24,14 @@ import numpy as np
 
 from qbmx.core.qubo import default_beta_range, random_qubo_batch
 from qbmx.samplers.exact import exact_boltzmann
+from qbmx.samplers.gibbs import gibbs_sample_batch
 from qbmx.samplers.sa_jax import sa_sample_batch
-from qbmx.samplers.sa_pallas import sa_sample_batch_pallas
+from qbmx.samplers.sa_pallas import (
+    gibbs_sample_batch_pallas,
+    pt_sample_batch_pallas,
+    sa_sample_batch_pallas,
+)
+from qbmx.samplers.tempering import pt_sample_batch
 
 
 def validate(B=60, n=6, reads=100, sweeps=1000):
@@ -72,7 +78,67 @@ def bench(shapes=((60, 6), (60, 41)), reads=100, sweeps=1000):
         print(line)
 
 
+def validate_heatbath(B=30, n=6, reads=512, warmup=64):
+    """BMS rule vs the exact Boltzmann distribution at the target beta."""
+    rng = np.random.default_rng(2)
+    Q = random_qubo_batch(rng, B, n)
+    s = np.asarray(gibbs_sample_batch_pallas(jax.random.key(3), Q, reads, warmup, beta=1.0))
+    gaps = []
+    for b in range(B):
+        _, _, marg, _ = exact_boltzmann(Q[b], beta=1.0)
+        gaps.append(float(np.abs(s[b].mean(axis=0) - np.asarray(marg)).max()))
+    print(f"heatbath pallas vs oracle@beta1: mean {np.mean(gaps):.4f} max {np.max(gaps):.3f}")
+    assert np.mean(gaps) < 0.05, "heat-bath kernel diverges from the oracle"
+    print("HEATBATH STATISTICS OK")
+
+
+def validate_pt(B=8, n=6, reads=512, sweeps=48, M=8):
+    rng = np.random.default_rng(3)
+    Q = random_qubo_batch(rng, B, n, scale=1.5)
+    s = np.asarray(pt_sample_batch_pallas(
+        jax.random.key(4), Q, reads, sweeps, num_replicas=M, beta_target=1.0))
+    gaps = []
+    for b in range(B):
+        _, _, marg, _ = exact_boltzmann(Q[b], beta=1.0)
+        gaps.append(float(np.abs(s[b].mean(axis=0) - np.asarray(marg)).max()))
+    print(f"pt pallas vs oracle@beta1: mean {np.mean(gaps):.4f} max {np.max(gaps):.3f}")
+    assert np.mean(gaps) < 0.06, "PT kernel diverges from the oracle"
+    print("PT STATISTICS OK")
+
+
+def bench_bms_pt(shapes=((120, 3), (40, 7)), reads=1000, sweeps=1000):
+    """Latency of the BMS/PT kernels vs their XLA fallbacks at the
+    breastmnist sweep shapes (h2: clamped n=2 / unclamped n=3; h5: n=7)."""
+    rng = np.random.default_rng(5)
+
+    def run_many(fn, reps, base):
+        acc = jnp.float32(0)
+        for i in range(reps):
+            acc = acc + fn(jax.random.key(base + i)).sum()
+        return float(acc)
+
+    for B, n in shapes:
+        Q = random_qubo_batch(rng, B, n)
+        pairs = (
+            ("bms-pallas", lambda k: gibbs_sample_batch_pallas(k, Q, reads, sweeps, beta=1.0)),
+            ("bms-xla", lambda k: gibbs_sample_batch(k, Q, reads, sweeps, beta=1.0)),
+            ("pt-pallas", lambda k: pt_sample_batch_pallas(k, Q, reads, 64, num_replicas=8, beta_target=1.0)),
+            ("pt-xla", lambda k: pt_sample_batch(k, Q, reads, 64, num_replicas=8, beta_target=1.0)),
+        )
+        line = f"B={B} n={n} reads={reads}:"
+        for name, fn in pairs:
+            run_many(fn, 1, 0)
+            t0 = time.perf_counter()
+            run_many(fn, 11, 100)
+            dt = (time.perf_counter() - t0) / 11 * 1000
+            line += f"  {name} {dt:.1f} ms"
+        print(line)
+
+
 if __name__ == "__main__":
     assert jax.devices()[0].platform == "tpu", "run on TPU hardware"
     validate()
+    validate_heatbath()
+    validate_pt()
     bench()
+    bench_bms_pt()

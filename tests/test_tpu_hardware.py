@@ -1,0 +1,156 @@
+"""Hardware tier: on-chip validation of the Pallas PRNG paths.
+
+Run with ``QBMX_TPU_TESTS=1 python -m pytest tests/ -m tpu -q`` on a real
+TPU (the kernels' ``pltpu.prng_random_bits`` has no interpreter support, so
+the CPU tier can only cover the update math via host variates).  These are
+the oracle/statistics checks that previously lived only in
+``scripts/validate_pallas_tpu.py`` (VERDICT r2 #7): a silent Mosaic
+miscompile of the PRNG path — one already happened, see PERFORMANCE.md —
+now fails `pytest -m tpu` instead of relying on script discipline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _oracle_marginals(Q, beta):
+    from qbmx.samplers.exact import exact_boltzmann
+
+    _, _, marg, _ = exact_boltzmann(Q, beta=beta)
+    return np.asarray(marg)
+
+
+def test_on_tpu():
+    assert jax.devices()[0].platform == "tpu"
+
+
+def test_sa_kernel_marginals_match_oracle():
+    """Packed Metropolis kernel vs exact Boltzmann at the cold beta, and vs
+    the XLA sampler (the scripts/validate_pallas_tpu.py bar: mean gap to
+    the XLA sampler < 0.05 over random 6-var problems)."""
+    from qbmx.core.qubo import default_beta_range, random_qubo_batch
+    from qbmx.samplers.sa_jax import sa_sample_batch
+    from qbmx.samplers.sa_pallas import sa_sample_batch_pallas
+
+    rng = np.random.default_rng(0)
+    B, n, reads, sweeps = 30, 6, 200, 500
+    Q = random_qubo_batch(rng, B, n)
+    rp = np.asarray(sa_sample_batch_pallas(jax.random.key(7), Q, reads, sweeps))
+    rx = np.asarray(sa_sample_batch(jax.random.key(7), Q, reads, sweeps))
+    gaps_p, gaps_d = [], []
+    for b in range(B):
+        _, cold = default_beta_range(Q[b])
+        m = _oracle_marginals(Q[b], float(cold))
+        gaps_p.append(float(np.abs(rp[b].mean(axis=0) - m).max()))
+        gaps_d.append(float(np.abs(rp[b].mean(axis=0) - rx[b].mean(axis=0)).max()))
+    assert np.mean(gaps_d) < 0.05, (np.mean(gaps_d), np.mean(gaps_p))
+
+
+def test_heatbath_kernel_marginals_match_oracle():
+    """Packed heat-bath (BMS) kernel: annealed to beta=1, the sample
+    marginals and pair statistics must track the exact distribution — the
+    same bar tests/test_samplers.py:167 sets for the XLA gibbs path."""
+    from qbmx.samplers.exact import exact_boltzmann
+    from qbmx.samplers.sa_pallas import gibbs_sample_batch_pallas
+
+    rng = np.random.default_rng(1)
+    n, reads, warmup = 6, 2048, 64
+    Q = jnp.asarray(
+        np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(8)]),
+        jnp.float32)
+    s = np.asarray(gibbs_sample_batch_pallas(
+        jax.random.key(5), Q, reads, warmup, beta=1.0))
+    for b in range(Q.shape[0]):
+        _, _, marg, pair = exact_boltzmann(Q[b], beta=1.0)
+        assert np.allclose(s[b].mean(axis=0), np.asarray(marg), atol=0.05), b
+        emp_pair = np.einsum("mi,mj->ij", s[b], s[b]) / reads
+        assert np.allclose(emp_pair, np.asarray(pair), atol=0.07), b
+
+
+def test_pt_kernel_marginals_match_oracle():
+    """Packed PT kernel: the target rung samples the beta=1 Boltzmann
+    distribution (same bar as tests/test_samplers.py TestParallelTempering)."""
+    from qbmx.samplers.exact import exact_boltzmann
+    from qbmx.samplers.sa_pallas import pt_sample_batch_pallas
+
+    rng = np.random.default_rng(2)
+    n, reads, sweeps, M = 6, 1024, 48, 8
+    Q = jnp.asarray(
+        np.stack([np.triu(rng.uniform(-1.5, 1.5, (n, n))) for _ in range(4)]),
+        jnp.float32)
+    s = np.asarray(pt_sample_batch_pallas(
+        jax.random.key(3), Q, reads, sweeps, num_replicas=M, beta_target=1.0))
+    for b in range(Q.shape[0]):
+        _, _, marg, _ = exact_boltzmann(Q[b], beta=1.0)
+        assert np.allclose(s[b].mean(axis=0), np.asarray(marg), atol=0.06), b
+
+
+def test_pt_kernel_bimodal_landscape():
+    """PT's raison d'être: on the frustrated two-clique landscape the cold
+    rung must track the exact marginals (one-way annealing tends to freeze
+    into a single mode)."""
+    from qbmx.samplers.exact import exact_boltzmann
+    from qbmx.samplers.sa_pallas import pt_sample_batch_pallas
+
+    n = 8
+    Q = np.zeros((n, n), dtype="float32")
+    for i in range(4):
+        for j in range(i + 1, 4):
+            Q[i, j] = -3.0
+            Q[i + 4, j + 4] = -3.0
+    Q[np.arange(4), np.arange(4)] = 4.4
+    Q[np.arange(4, 8), np.arange(4, 8)] = 4.6
+    Qb = jnp.asarray(Q)[None]
+    _, _, marg, _ = exact_boltzmann(Qb[0], beta=1.0)
+    s = np.asarray(pt_sample_batch_pallas(
+        jax.random.key(1), Qb, 512, 64, num_replicas=8, beta_target=1.0))[0]
+    assert np.abs(s.mean(axis=0) - np.asarray(marg)).max() < 0.1
+
+
+def test_mosaic_roll_matches_host():
+    """The PT exchange step leans on jnp.roll lowering correctly inside the
+    kernel (sublane circular shift).  Pin the Mosaic lowering against the
+    host semantics on an identifiable pattern."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, up_ref, dn_ref):
+        up_ref[...] = jnp.roll(x_ref[...], -1, axis=0)
+        dn_ref[...] = jnp.roll(x_ref[...], 1, axis=0)
+
+    x = jnp.arange(16 * 128, dtype=jnp.float32).reshape(16, 128)
+    up, dn = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+    )(x)
+    np.testing.assert_array_equal(np.asarray(up), np.roll(np.asarray(x), -1, 0))
+    np.testing.assert_array_equal(np.asarray(dn), np.roll(np.asarray(x), 1, 0))
+
+
+def test_debug_and_prng_gibbs_agree_statistically():
+    """The hardware PRNG heat-bath path and the host-variates debug path
+    must agree in distribution (locks the PRNG wiring itself, not just the
+    update math the CPU tier covers)."""
+    from qbmx.samplers.sa_pallas import gibbs_sample_batch_pallas
+
+    rng = np.random.default_rng(4)
+    n, reads, warmup = 6, 1024, 32
+    Q = jnp.asarray(np.triu(rng.uniform(-1, 1, (1, n, n))), jnp.float32)
+    s_hw = np.asarray(gibbs_sample_batch_pallas(
+        jax.random.key(0), Q, reads, warmup, beta=1.0))[0]
+    init01 = jnp.asarray((rng.uniform(0, 1, (1, reads, n)) < 0.5).astype("float32"))
+    uniforms = jnp.asarray(rng.uniform(0, 1, (warmup, 1, n, reads)).astype("float32"))
+    s_dbg = np.asarray(gibbs_sample_batch_pallas(
+        jax.random.key(0), Q, reads, warmup, beta=1.0,
+        debug_randoms=(init01, uniforms)))[0]
+    assert np.abs(s_hw.mean(axis=0) - s_dbg.mean(axis=0)).max() < 0.06
