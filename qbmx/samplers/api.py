@@ -217,7 +217,7 @@ class ExactSampler:
 
     def sample_batch(self, key, Q, num_reads):
         B = Q.shape[0]
-        keys = jax.random.split(key, B)
+        keys = key if key.ndim else jax.random.split(key, B)
         return jax.vmap(lambda k, q: _exact.exact_sample(k, q, num_reads, self.beta))(keys, Q)
 
 

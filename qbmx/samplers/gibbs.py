@@ -79,7 +79,9 @@ def gibbs_sample_batch(
     num_warmup: int = 32,
     beta: float = 1.0,
 ) -> jax.Array:
-    """Batched variant: ``Q`` (B, n, n) → samples (B, num_reads, n)."""
+    """Batched variant: ``Q`` (B, n, n) → samples (B, num_reads, n).
+    ``key``: single key, or a (B,) key array (one per problem — position-
+    independent noise streams for seed-parallel sweeps)."""
     B = Q.shape[0]
-    keys = jax.random.split(key, B)
+    keys = key if key.ndim else jax.random.split(key, B)
     return jax.vmap(lambda k, q: gibbs_sample(k, q, num_reads, num_warmup, beta))(keys, Q)

@@ -95,7 +95,12 @@ def sa_sample_batch(
     sequential step becomes a batched matvec over the full (B, R) chain
     block, which is where the TPU wins over the reference's per-example
     process-pool loop (2·N sampler invocations per epoch, SURVEY.md §3.2).
+
+    ``key`` may be a single key (split per problem internally) or a (B,)
+    key array — one key PER problem, so a problem's noise stream is
+    independent of its position in the batch (seed-parallel sweeps use
+    this for per-seed trajectory reproducibility, VERDICT r2 #8).
     """
     B = Q.shape[0]
-    keys = jax.random.split(key, B)
+    keys = key if key.ndim else jax.random.split(key, B)
     return jax.vmap(lambda k, q: sa_sample(k, q, num_reads, num_sweeps))(keys, Q)

@@ -145,6 +145,24 @@ def block_vars(P: int) -> int:
     return 16  # P == 1: BS = 16 rows, 8-aligned
 
 
+def _seed_scalar(key):
+    """(1, 1) int32 kernel seed from a single PRNG key or a (B,) key array.
+
+    The packed kernel's on-chip PRNG is seeded per PACK (seed + program id),
+    not per problem, so a per-problem key array is MIXED into one seed with
+    a position-salted xor-sum: sample statistics stay correct and any key
+    change flips the seed, but per-problem stream reproducibility is NOT
+    available on this path (the XLA samplers honor key arrays exactly —
+    see sa_jax.sa_sample_batch)."""
+    if key.ndim:
+        kd = jax.random.key_data(key).astype(jnp.uint32)  # (B, words)
+        mixed = kd[..., 0] if kd.shape[-1] == 1 else jnp.bitwise_xor(kd[..., 0], kd[..., -1])
+        pos = jnp.arange(mixed.shape[0], dtype=jnp.uint32) * jnp.uint32(2654435761)
+        s = jnp.bitwise_xor(mixed, pos).sum()
+        return (s % jnp.uint32(2**31 - 1)).astype(jnp.int32).reshape(1, 1)
+    return jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+
 def _roll_rows(x, shift: int):
     """Circular sublane shift: ``out[r] = x[r - shift]`` (jnp.roll
     semantics on axis 0).  jnp.roll lowers to static slice+concat which
@@ -432,7 +450,7 @@ def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
         v = jnp.pad(v, ((0, 0), (0, N - P * stride)), constant_values=1.0)
         return v[..., None]
 
-    seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    seed = _seed_scalar(key)
 
     debug = debug_randoms is not None
     in_specs = [

@@ -100,8 +100,9 @@ def pt_sample(
 
 @partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "num_replicas"))
 def pt_sample_batch(key, Q, num_reads, num_sweeps=64, num_replicas=8, beta_target=1.0):
+    """``key``: single key, or a (B,) key array (one per problem)."""
     B = Q.shape[0]
-    keys = jax.random.split(key, B)
+    keys = key if key.ndim else jax.random.split(key, B)
     return jax.vmap(
         lambda k, q: pt_sample(k, q, num_reads, num_sweeps, num_replicas, beta_target)
     )(keys, Q)

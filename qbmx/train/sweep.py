@@ -50,12 +50,14 @@ class SeedParallelDQBM:
 
     Hyperparameters mirror :class:`qbmx.models.dqbm.DiscQBM`; every seed
     gets its own U(-1,1) init drawn from its own PRNG stream (matching the
-    single-model path).  Training-noise: the fused sampler call derives all
-    chains from seed 0's stream via per-problem key folds inside
-    ``sample_batch`` — chains stay independent across seeds, but the
-    per-seed noise streams do NOT match the sequential single-model runs
-    (parity is statistical, CLAUDE.md).  The carried (S,) key axis keeps
-    the per-seed streams reserved for samplers that consume them.
+    single-model path).  Training-noise: the fused sampler call carries one
+    key PER problem, derived from that problem's seed's own (S,) stream —
+    with an XLA sampler a seed's noise is therefore independent of which
+    other seeds share the sweep (single-seed trajectories reproduce exactly
+    across different seed sets — pinned by tests/test_sweep.py); the packed
+    Pallas kernel mixes the key array into its per-pack seed, so there
+    parity stays statistical (CLAUDE.md).  Per-seed streams still do not
+    match the sequential single-model runs (different split trees).
     """
 
     def __init__(
@@ -145,9 +147,17 @@ class SeedParallelDQBM:
             Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
             n_u = Qu.shape[-1]
             # fuse phases AND seeds into one sampler batch (2·S·B problems)
+            # with PER-PROBLEM keys derived from each problem's own seed
+            # stream (VERDICT r2 #8): with an XLA sampler a seed's noise is
+            # independent of which other seeds share the sweep, so a single
+            # seed's trajectory reproduces exactly outside the sweep; the
+            # packed Pallas kernel mixes the keys into its per-pack seed
+            # (statistically equivalent, no per-seed stream there —
+            # sa_pallas._seed_scalar).
+            pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
             Qc_pad = jnp.zeros((S, B, n_u, n_u), Qc.dtype).at[:, :, :H, :H].set(Qc)
             Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, n_u, n_u)
-            s_all = sampler.sample_batch(keys[0], Q_all, reads)
+            s_all = sampler.sample_batch(pkeys.reshape(2 * S * B), Q_all, reads)
             s_all = s_all.reshape(S, 2 * B, reads, n_u)
             s_c = s_all[:, :B, :, :H]
             s_u = s_all[:, B:]
@@ -179,11 +189,12 @@ class SeedParallelDQBM:
         S = self.S
 
         @jax.jit
-        def predict(params, x, key):
+        def predict(params, x, keys):
             Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
             B = x.shape[0]
             n_u = Qu.shape[-1]
-            s_u = sampler.sample_batch(key, Qu.reshape(S * B, n_u, n_u), reads)
+            pkeys = jax.vmap(lambda k: jax.random.split(k, B))(keys)
+            s_u = sampler.sample_batch(pkeys.reshape(S * B), Qu.reshape(S * B, n_u, n_u), reads)
             s_u = s_u.reshape(S, B, reads, n_u)
             marg = s_u[:, :, :, :n_out].mean(axis=2)  # (S, B, n_out)
             probs = jax.vmap(lambda s: output_probs_from_samples(s, n_out, one_hot))(s_u)
@@ -248,8 +259,9 @@ class SeedParallelDQBM:
                 histories[s].error_per_epoch.append(0.0)
 
             if xv is not None:
-                self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
-                marg, _ = self._predict(self.params, xv, self.keys[0])
+                ks = jax.vmap(jax.random.split)(self.keys)  # (S, 2)
+                self.keys, sub = ks[:, 0], ks[:, 1]
+                marg, _ = self._predict(self.params, xv, sub)
                 marg = np.asarray(marg)
                 for s in range(self.S):
                     if self.use_one_hot_encoding:
@@ -425,7 +437,10 @@ class SeedParallelCDQBM:
             # _step_fn does the same for one seed)
             Qc_pad = jnp.zeros((S, B, nt, nt), Qc.dtype).at[:, :, :nh, :nh].set(Qc)
             Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, nt, nt)
-            s_all = m.sampler.sample_batch(keys[0], Q_all, m.sample_count)
+            # per-problem keys from each seed's own stream (see the DQBM
+            # sweep step; VERDICT r2 #8)
+            pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
+            s_all = m.sampler.sample_batch(pkeys.reshape(2 * S * B), Q_all, m.sample_count)
             s_all = s_all.reshape(S, 2 * B, m.sample_count, nt)
             s_c = s_all[:, :B, :, :nh]
             s_u = s_all[:, B:]
@@ -467,11 +482,13 @@ class SeedParallelCDQBM:
         S = self.S
 
         @jax.jit
-        def predict(params, x, key):
+        def predict(params, x, keys):
             Qu = jax.vmap(lambda p: jax.vmap(
                 lambda xi: m.unclamped_qubo(p, xi))(x))(params)
             B, nt = x.shape[0], m.geo.n_total
-            s_u = m.sampler.sample_batch(key, Qu.reshape(S * B, nt, nt),
+            pkeys = jax.vmap(lambda k: jax.random.split(k, B))(keys)
+            s_u = m.sampler.sample_batch(pkeys.reshape(S * B),
+                                         Qu.reshape(S * B, nt, nt),
                                          m.sample_count)
             s_u = s_u.reshape(S, B, m.sample_count, nt)
             return jax.vmap(m._probs_from_samples)(s_u)  # (S, B, C)
@@ -547,10 +564,11 @@ class SeedParallelCDQBM:
                 probs_parts = []
                 n_val = xv.shape[0]
                 for i in range(0, n_val, predict_chunk):
-                    self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+                    ks = jax.vmap(jax.random.split)(self.keys)  # (S, 2)
+                    self.keys, sub = ks[:, 0], ks[:, 1]
                     xc = pad_rows(xv[i : i + predict_chunk], predict_chunk)
                     probs_parts.append(np.asarray(self._predict(
-                        self.params, xc, self.keys[0])))
+                        self.params, xc, sub)))
                 probs = np.concatenate(probs_parts, axis=1)[:, :n_val]  # (S, n_val, C)
                 for s in range(self.S):
                     preds = np.argmax(probs[s], axis=1)

@@ -101,15 +101,44 @@ def show_and_save_distribution(sorted_probs, x_ticks, file_path, title, legend_l
     return fig
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class Plots:
+    """Bundle of the five standard figures (reference ``Plots`` container,
+    ``src/metrics.py:24-32``).  Build one with :func:`make_plots`; pass to
+    :func:`save_all` or save/close fields individually."""
+
+    conf_matrix_fig: object
+    loss_per_batch_fig: object
+    loss_per_epoch_fig: object
+    nll_per_batch_fig: object
+    nll_per_epoch_fig: object
+
+
+def make_plots(history, y_true, y_predict, class_titles=None) -> Plots:
+    """The reference assembles these five figures inline in ``save_result``
+    (``src/metrics.py:225-231``); here they come as one container."""
+    return Plots(
+        conf_matrix_fig=get_confusion_matrix(y_true, y_predict, class_titles),
+        loss_per_batch_fig=get_loss_func_per_batch(history.errors_per_batch),
+        loss_per_epoch_fig=get_loss_func_per_epoch(history.error_per_epoch),
+        nll_per_batch_fig=get_nll_func_per_batch(history.nll_per_batch),
+        nll_per_epoch_fig=get_nll_func_per_epoch(history.nll_per_epoch),
+    )
+
+
 def save_all(file_path, history, y_true, y_predict, class_titles):
     """Write the reference's five figures next to a result file
     (``save_result``, ``src/metrics.py:225-231``)."""
+    plots = make_plots(history, y_true, y_predict, class_titles)
     figs = {
-        "_loss_per_iteration.png": get_loss_func_per_batch(history.errors_per_batch),
-        "_loss_per_epoch.png": get_loss_func_per_epoch(history.error_per_epoch),
-        "_nll_per_iteration.png": get_nll_func_per_batch(history.nll_per_batch),
-        "_nll_per_epoch.png": get_nll_func_per_epoch(history.nll_per_epoch),
-        "_confusion_matrix.png": get_confusion_matrix(y_true, y_predict, class_titles),
+        "_loss_per_iteration.png": plots.loss_per_batch_fig,
+        "_loss_per_epoch.png": plots.loss_per_epoch_fig,
+        "_nll_per_iteration.png": plots.nll_per_batch_fig,
+        "_nll_per_epoch.png": plots.nll_per_epoch_fig,
+        "_confusion_matrix.png": plots.conf_matrix_fig,
     }
     for suffix, fig in figs.items():
         fig.savefig(str(file_path) + suffix)

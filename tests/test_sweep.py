@@ -63,6 +63,27 @@ class TestSeedParallel:
             seq.append(max(h.acc_per_epoch))
         assert abs(batched - np.mean(seq)) < 0.12, (batched, seq)
 
+    def test_single_seed_trajectory_reproducible_across_seed_sets(self, rng):
+        """VERDICT r2 #8: with per-problem sampler keys derived from each
+        seed's own stream, a seed's training trajectory must be IDENTICAL
+        whether it trains alone or inside a larger sweep (XLA samplers;
+        the Pallas path mixes keys per pack and stays statistical)."""
+        x, y = two_cluster_data(rng, n=48)
+        kw = dict(dim_input=6, n_hidden_nodes=3, sample_count=64,
+                  sampler=ExactSampler())
+        solo = SeedParallelDQBM([7], **kw)
+        hs_solo = solo.train(x, y, x, y, epochs=3, batch_size=24,
+                             learning_rate=0.3, verbose=False)
+        trio = SeedParallelDQBM([3, 7, 11], **kw)
+        hs_trio = trio.train(x, y, x, y, epochs=3, batch_size=24,
+                             learning_rate=0.3, verbose=False)
+        np.testing.assert_allclose(hs_solo[0].nll_per_batch,
+                                   hs_trio[1].nll_per_batch, rtol=1e-5)
+        assert hs_solo[0].acc_per_epoch == hs_trio[1].acc_per_epoch
+        for a, b in zip(jax.tree.leaves(solo.params_for_seed(0)),
+                        jax.tree.leaves(trio.params_for_seed(1))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
     def test_ragged_tail_and_segments(self, rng):
         """n not divisible by batch_size + epoch segmentation still runs and
         produces per-batch NLLs for ceil(n/bs) batches."""
