@@ -26,7 +26,7 @@ def main(
     sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
-    seed_sweep=None, reinit_on_collapse=0,
+    seed_sweep=None, reinit_on_collapse=0, learn_penalty=False,
 ):
     print("Start")
     random.seed(seed)
@@ -68,6 +68,7 @@ def main(
         beta_eff=beta_eff, num_classes=num_classes,
         pool_select=pool_select, center_fmap=center_fmap,
         prob_penalty=prob_penalty, grad_clip=grad_clip,
+        learn_penalty=bool(learn_penalty),
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
@@ -215,6 +216,11 @@ def build_parser():
     p.add_argument("--prob_penalty", type=float, default=0.8225,
                    help="probabilistic-pooling penalty strength (reference "
                         "hardcodes 0.8225)")
+    p.add_argument("--learn_penalty", type=str2bool, default=False,
+                   help="learn a per-window probabilistic-pooling penalty "
+                        "vector (init at --prob_penalty) by moment matching "
+                        "instead of the reference's fixed constant "
+                        "(flag-gated extension; needs probabilistic pooling)")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="max gradient global L2 norm (0 = off, reference "
                         "parity; flag-gated stability extension)")
@@ -250,4 +256,5 @@ if __name__ == "__main__":
         signed_input=flags.signed_input, prob_penalty=flags.prob_penalty,
         grad_clip=flags.grad_clip, progress=flags.progress,
         seed_sweep=flags.seed_sweep, reinit_on_collapse=flags.reinit_on_collapse,
+        learn_penalty=flags.learn_penalty,
     )

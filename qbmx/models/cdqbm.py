@@ -59,11 +59,20 @@ class CDQBMParams:
     b_conv: jax.Array  # (1,) shared | (num_conv_units,) per-unit | (1,) zeros for "none"
     b_seq: jax.Array  # (sum(seq),)
     b_o: jax.Array  # (n_out,)
+    # learned per-window probabilistic-pooling penalties (flag-gated
+    # extension, ``learn_penalty``): (n_windows,) strengths replacing the
+    # constant 0.8225 the reference hardcodes; None when the flag is off
+    # (reference parity — None is an empty pytree subtree, so every
+    # tree.map/grad path is oblivious)
+    pen: jax.Array | None = None
 
 
-def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool) -> CDQBMParams:
+def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool,
+                learn_penalty: bool = False,
+                prob_penalty: float = PROB_POOL_PENALTY) -> CDQBMParams:
     """U(-1,1) init following ``Conv_Deep_QBM.init_weights``/``init_biases``
-    (``src/model/cdqbm_state.py:140-190``)."""
+    (``src/model/cdqbm_state.py:140-190``).  ``learn_penalty``: start the
+    per-window penalty vector at the reference constant."""
     ks = iter(jax.random.split(key, 8 + 2 * len(geo.seq_sizes)))
     u = lambda shape: jax.random.uniform(next(ks), shape, jnp.float32, -1.0, 1.0)
     k = geo.kernel_size
@@ -84,6 +93,12 @@ def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool
     else:  # per-unit
         b_conv = u((geo.num_conv_units,))
 
+    pen = None
+    if learn_penalty:
+        if geo.pooling_type != "probabilistic" or not geo.has_pooling:
+            raise ValueError("learn_penalty requires probabilistic pooling")
+        pen = jnp.full((len(geo.pool_windows),), prob_penalty, jnp.float32)
+
     return CDQBMParams(
         kernel=u((k, k)),
         w_seq=tuple(w_seq),
@@ -93,6 +108,7 @@ def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool
         b_conv=b_conv,
         b_seq=u((sum(geo.seq_sizes),)) if geo.seq_sizes else jnp.zeros((0,)),
         b_o=u((geo.n_out,)),
+        pen=pen,
     )
 
 
@@ -101,28 +117,41 @@ def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool
 # ---------------------------------------------------------------------------
 
 
-def build_penalty_matrix(geo: StackGeometry, penalty: float = PROB_POOL_PENALTY) -> np.ndarray:
-    """(n_hidden, n_hidden) constant upper-triangular penalty terms:
-    pairwise at-most-one within each window (``add_at_most_one_penalty_upper``,
-    ``src/qubo/builder.py:116-124``) and the OR-link between each window's
+def build_penalty_basis(geo: StackGeometry) -> np.ndarray:
+    """(n_windows, n_hidden, n_hidden) unit-strength per-window penalty
+    patterns (upper-triangular, diagonal = linear terms): pairwise
+    at-most-one within the window (``add_at_most_one_penalty_upper``,
+    ``src/qubo/builder.py:116-124``) and the OR-link between the window's
     conv units and its pool variable (``add_link_penalty_upper``,
-    ``src/qubo/builder.py:127-147``)."""
-    P = np.zeros((geo.n_hidden, geo.n_hidden), dtype=np.float32)
+    ``src/qubo/builder.py:127-147``).  The reference scales every window by
+    the same hard-coded 0.8225; the flag-gated ``learn_penalty`` extension
+    scales window ``w`` by the learned ``params.pen[w]`` instead."""
     if geo.pooling_type != "probabilistic" or not geo.has_pooling:
-        return P
+        return np.zeros((0, geo.n_hidden, geo.n_hidden), dtype=np.float32)
     windows = geo.pool_windows
     p_start = geo.conv_active  # first pool-var index
+    basis = np.zeros((len(windows), geo.n_hidden, geo.n_hidden), dtype=np.float32)
     for g, ids in enumerate(windows):
         ids = np.asarray(ids, dtype=int)
+        M = basis[g]
         # at-most-one among the window's conv units
         ii, jj = np.triu_indices(len(ids), k=1)
-        P[ids[ii], ids[jj]] += penalty
+        M[ids[ii], ids[jj]] += 1.0
         # OR-link: pool var on iff some unit on
         pv = p_start + g
-        P[pv, pv] += penalty
-        P[ids, ids] += penalty
-        P[ids, pv] += -2.0 * penalty  # ids < pv always (conv block precedes pool vars)
-    return P
+        M[pv, pv] += 1.0
+        M[ids, ids] += 1.0
+        M[ids, pv] += -2.0  # ids < pv always (conv block precedes pool vars)
+    return basis
+
+
+def build_penalty_matrix(geo: StackGeometry, penalty: float = PROB_POOL_PENALTY) -> np.ndarray:
+    """(n_hidden, n_hidden) constant upper-triangular penalty terms — every
+    window at the same strength (reference parity)."""
+    basis = build_penalty_basis(geo)
+    if not basis.shape[0]:
+        return np.zeros((geo.n_hidden, geo.n_hidden), dtype=np.float32)
+    return np.float32(penalty) * basis.sum(axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +187,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         center_fmap: bool = False,
         prob_penalty: float = PROB_POOL_PENALTY,
         grad_clip: float = 0.0,
+        learn_penalty: bool = False,
     ):
         """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
         by default = reference parity).  The exact-enumeration study
@@ -172,6 +202,12 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         ``grad_clip`` > 0 clips the moment-diff gradient's global L2 norm
         (flag-gated stability extension, see
         :func:`qbmx.models.base.clip_by_global_norm`; 0 = reference parity).
+        ``learn_penalty`` (flag-gated, probabilistic pooling only) makes the
+        pooling penalty a LEARNED per-window parameter vector initialized at
+        ``prob_penalty`` and trained by the same moment-matching rule as
+        every other weight (the ROADMAP r2 "per-window learned penalties"
+        lead; the exact study showed a single global strength caps the
+        architecture).
         """
         if pool_select not in ("min", "max", "absmax"):
             raise ValueError(f"unknown pool_select {pool_select!r}")
@@ -198,6 +234,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.center_fmap = bool(center_fmap)
         self.prob_penalty = float(prob_penalty)
         self.grad_clip = float(grad_clip)
+        self.learn_penalty = bool(learn_penalty)
         self.solver_string = solver
         self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
 
@@ -205,10 +242,19 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.patch_idx = jnp.asarray(patch_index_grid(image_shape, kernel_size, stride))
         self.windows = jnp.asarray(self.geo.pool_windows) if self.geo.has_pooling else None
         self.penalty_hidden = jnp.asarray(build_penalty_matrix(self.geo, self.prob_penalty))
+        if self.learn_penalty:
+            basis = build_penalty_basis(self.geo)
+            self.pen_basis = jnp.asarray(basis)  # (W, nh, nh) upper-tri
+            self.pen_basis_diag = jnp.asarray(
+                np.diagonal(basis, axis1=1, axis2=2).copy())  # (W, nh)
+            self.pen_basis_upper = jnp.asarray(
+                np.triu(basis, k=1))  # (W, nh, nh) strict upper
 
         self.key = jax.random.key(seed)
         self.key, init_key = jax.random.split(self.key)
-        self.params = init_params(init_key, self.geo, hidden_bias_type, is_restricted)
+        self.params = init_params(init_key, self.geo, hidden_bias_type,
+                                  is_restricted, self.learn_penalty,
+                                  self.prob_penalty)
         if load_path:
             self.load_params(load_path)
 
@@ -272,7 +318,12 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         geo = self.geo
         n = geo.n_hidden
         Q = jnp.zeros((n, n))
-        Q = Q + self.penalty_hidden
+        if self.learn_penalty:
+            # learned per-window strengths scale the static unit patterns
+            Q = Q + jnp.einsum("w,wij->ij", params.pen, self.pen_basis,
+                               precision="highest")
+        else:
+            Q = Q + self.penalty_hidden
         cs = geo.conv_slice
         Q = Q.at[jnp.arange(cs.start, cs.stop), jnp.arange(cs.start, cs.stop)].add(conv_bias)
 
@@ -382,6 +433,21 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             g_b_o = label_vec
             g_w_oo = jnp.triu(label_vec[:, None] * label_vec[None, :], k=1)
 
+        if self.learn_penalty:
+            # expected per-window penalty feature E[f_w] = E[sᵀ M_w s] with
+            # the diagonal carrying the linear terms (s_i² = s_i): the
+            # sufficient statistic of pen_w, so pen trains by the same
+            # clamped−unclamped moment rule as every other weight
+            hid = full[:, : geo.n_hidden]
+            g_pen = (
+                jnp.einsum("wi,i->w", self.pen_basis_diag, hid.mean(axis=0),
+                           precision="highest")
+                + jnp.einsum("ri,wij,rj->w", hid, self.pen_basis_upper, hid,
+                             precision="highest") / R
+            )
+        else:
+            g_pen = None
+
         return CDQBMParams(
             kernel=g_kernel,
             w_seq=tuple(g_w_seq),
@@ -391,6 +457,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             b_conv=g_b_conv,
             b_seq=g_b_seq,
             b_o=g_b_o,
+            pen=g_pen,
         )
 
     # -- training / prediction ----------------------------------------------
@@ -554,7 +621,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         """Reference ``weight_objects`` ordering
         (``src/model/cdqbm_state.py:40-47``)."""
         p = self.params
-        return [
+        objs = [
             np.asarray(p.kernel),
             [np.asarray(w) for w in p.w_seq],
             np.asarray(p.w_h2o),
@@ -564,6 +631,9 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             np.asarray(p.b_seq),
             np.asarray(p.b_o),
         ]
+        if p.pen is not None:
+            objs.append(np.asarray(p.pen))  # 9th entry iff learn_penalty
+        return objs
 
     def reinit_params(self, attempt: int = 1) -> None:
         """Re-draw parameters and PRNG stream from a fresh deterministic
@@ -572,7 +642,8 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.key = jax.random.fold_in(jax.random.key(self.seed), attempt)
         self.key, init_key = jax.random.split(self.key)
         self.params = init_params(
-            init_key, self.geo, self.hidden_bias_type, self.is_restricted
+            init_key, self.geo, self.hidden_bias_type, self.is_restricted,
+            self.learn_penalty, self.prob_penalty,
         )
 
     def save_weights(self, title, path="out"):
@@ -586,8 +657,13 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             raise FileNotFoundError("params file not found")
         with open(file_path, "rb") as f:
             loaded = pickle.load(f)
+        pen = None
+        if len(loaded) == 9:  # learn_penalty checkpoints carry a 9th entry
+            *loaded, pen_arr = loaded
+            pen = jnp.asarray(pen_arr, jnp.float32)
         (kernel, w_seq, w_h2o, w_oo, w_intra, b_conv, b_seq, b_o) = loaded
         self.params = CDQBMParams(
+            pen=pen,
             kernel=jnp.asarray(kernel, jnp.float32),
             w_seq=tuple(jnp.asarray(w, jnp.float32) for w in w_seq),
             w_seq_intra=(

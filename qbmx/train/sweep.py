@@ -402,7 +402,8 @@ class SeedParallelCDQBM:
         self.params, self.keys = _seed_streams(
             self.seeds,
             lambda k: cdqbm_init(k, model.geo, model.hidden_bias_type,
-                                 model.is_restricted),
+                                 model.is_restricted, model.learn_penalty,
+                                 model.prob_penalty),
         )
         self.mesh = mesh
         if mesh is not None:
@@ -508,7 +509,8 @@ class SeedParallelCDQBM:
         m = self.model
         fresh_p, fresh_k = _seed_streams(
             [self.seeds[i] for i in indices],
-            lambda k: cdqbm_init(k, m.geo, m.hidden_bias_type, m.is_restricted),
+            lambda k: cdqbm_init(k, m.geo, m.hidden_bias_type, m.is_restricted,
+                                 m.learn_penalty, m.prob_penalty),
             attempt=attempt,
         )
         if self.mesh is not None:

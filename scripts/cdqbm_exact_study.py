@@ -172,6 +172,21 @@ def main():
             sequential_layer_sizes=[2], hidden_bias_type="shared",
             prob_penalty=pen,
         ))
+    # per-window LEARNED penalties (ROADMAP r2 lead): pen becomes a trained
+    # parameter vector — exact gradients flow through the penalty basis
+    for pen0 in (0.8225, 5.0):
+        rows.append(run_variant(
+            f"prob pooling, LEARNED per-window pen (init={pen0})", X, Y, Xt, Yt,
+            kernel_size=4, pooling_size=2, pooling_type="probabilistic",
+            sequential_layer_sizes=[2], hidden_bias_type="shared",
+            prob_penalty=pen0, learn_penalty=True,
+        ))
+    rows.append(run_variant(
+        "prob pooling, LEARNED pen + signed input", X, Y, Xt, Yt, signed=True,
+        kernel_size=4, pooling_size=2, pooling_type="probabilistic",
+        sequential_layer_sizes=[2], hidden_bias_type="shared",
+        prob_penalty=0.8225, learn_penalty=True,
+    ))
 
     lines = [
         "# CDQBM exact-enumeration capacity study",

@@ -480,6 +480,84 @@ class TestCDQBMEpochLaunch:
         assert calls["n"] == 2
 
 
+class TestLearnedPenalties:
+    """Flag-gated per-window learned penalties (ROADMAP r2 lead)."""
+
+    KW = dict(image_shape=(4, 4), num_label_nodes=1, kernel_size=3,
+              pooling_size=2, pooling_type="probabilistic",
+              sequential_layer_sizes=[2], hidden_bias_type="shared")
+
+    def test_basis_sums_to_constant_matrix(self):
+        from qbmx.models.cdqbm import build_penalty_basis
+
+        geo = StackGeometry((6, 6), 3, 1, 2, "probabilistic", (), 1)
+        basis = build_penalty_basis(geo)
+        assert basis.shape[0] == len(geo.pool_windows)
+        np.testing.assert_allclose(
+            PROB_POOL_PENALTY * basis.sum(axis=0),
+            build_penalty_matrix(geo), rtol=1e-6)
+
+    def test_pen_at_init_reproduces_parity_qubo(self, rng):
+        """learn_penalty at init (pen = prob_penalty everywhere) must build
+        the SAME QUBOs as the parity constant-penalty model."""
+        from qbmx.samplers.api import ExactSampler
+
+        m_ref = CDQBM(seed=0, sample_count=8, sampler=ExactSampler(), **self.KW)
+        m_lrn = CDQBM(seed=0, sample_count=8, sampler=ExactSampler(),
+                      learn_penalty=True, **self.KW)
+        x = jnp.asarray(rng.uniform(0, 1, (4, 4)), jnp.float32)
+        y = jnp.asarray([1.0])
+        np.testing.assert_allclose(
+            np.asarray(m_lrn.clamped_qubo(m_lrn.params, x, y)),
+            np.asarray(m_ref.clamped_qubo(m_ref.params, x, y)), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m_lrn.unclamped_qubo(m_lrn.params, x)),
+            np.asarray(m_ref.unclamped_qubo(m_ref.params, x)), atol=1e-6)
+
+    def test_pen_trains_and_roundtrips(self, rng):
+        from qbmx.samplers.api import ExactSampler
+
+        m = CDQBM(seed=0, sample_count=256, sampler=ExactSampler(),
+                  learn_penalty=True, **self.KW)
+        x = jnp.asarray(rng.uniform(0, 1, (4, 4, 4)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, 4), jnp.float32)
+        p0 = np.asarray(m.params.pen).copy()
+        new_p, nll, _ = m._step(m.params, x, y, jnp.ones((4,)), 0.5,
+                                jax.random.key(1))
+        assert np.isfinite(float(nll))
+        assert not np.allclose(np.asarray(new_p.pen), p0)
+        # 9-entry checkpoint roundtrip
+        m.params = new_p
+        m.save_weights("pen_rt", "/tmp/qbmx_pen_test")
+        m2 = CDQBM(seed=3, sample_count=8, sampler=ExactSampler(),
+                   learn_penalty=True, **self.KW)
+        m2.load_params("/tmp/qbmx_pen_test/pen_rt.pkl")
+        np.testing.assert_allclose(np.asarray(m2.params.pen),
+                                   np.asarray(new_p.pen), rtol=1e-6)
+
+    def test_default_off_keeps_pen_none(self, rng):
+        from qbmx.samplers.api import ExactSampler
+
+        m = CDQBM(seed=0, sample_count=32, sampler=ExactSampler(), **self.KW)
+        assert m.params.pen is None
+        x = jnp.asarray(rng.uniform(0, 1, (2, 4, 4)), jnp.float32)
+        y = jnp.asarray([0.0, 1.0])
+        new_p, _, _ = m._step(m.params, x, y, jnp.ones((2,)), 0.3,
+                              jax.random.key(0))
+        assert new_p.pen is None
+        assert len(m.weight_objects()) == 8  # reference checkpoint format
+
+    def test_requires_probabilistic_pooling(self):
+        from qbmx.samplers.api import ExactSampler
+
+        with pytest.raises(ValueError, match="probabilistic"):
+            CDQBM(image_shape=(4, 4), num_label_nodes=1, seed=0,
+                  kernel_size=3, pooling_size=2,
+                  pooling_type="deterministic", sequential_layer_sizes=[2],
+                  hidden_bias_type="shared", sample_count=8,
+                  sampler=ExactSampler(), learn_penalty=True)
+
+
 def test_prob_penalty_flag_scales_penalty_matrix():
     """The reference hardcodes 0.8225; the flag must scale the penalty
     terms linearly (round-2 extension)."""
