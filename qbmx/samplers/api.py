@@ -131,20 +131,28 @@ class SASampler:
 class GibbsSampler:
     """Annealed heat-bath sampler — the "BMS" solver equivalent.  Routes to
     the packed Pallas kernel's heat-bath rule on TPU (VERDICT r2 #1: the
-    XLA one-variable-per-step path made BMS ~25× slower than SA)."""
+    XLA one-variable-per-step path made BMS ~25× slower than SA).
+
+    ``pair_updates``: resample consecutive variable PAIRS from their exact
+    4-state conditionals instead of one variable at a time — half the
+    sequential sub-steps per sweep (the kernel's measured floor), same
+    stationary distribution (sequential-scan pair Gibbs)."""
 
     num_warmup: int = 64
     beta: float = 1.0
     use_pallas: bool | None = None
+    pair_updates: bool = False
 
     def sample_batch(self, key, Q, num_reads):
         if self._pallas_enabled(Q, num_reads):
             from qbmx.samplers import sa_pallas
 
             return sa_pallas.gibbs_sample_batch_pallas(
-                key, Q, num_reads, self.num_warmup, self.beta
+                key, Q, num_reads, self.num_warmup, self.beta,
+                pair=self.pair_updates,
             )
-        return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup, self.beta)
+        return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup,
+                                         self.beta, pair=self.pair_updates)
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
@@ -246,6 +254,7 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
             num_warmup=kwargs.get("num_warmup", num_sweeps),
             beta=kwargs.get("beta", 1.0),
             use_pallas=kwargs.get("use_pallas"),
+            pair_updates=kwargs.get("pair_updates", False),
         )
     if s == "PT":
         return PTSampler(

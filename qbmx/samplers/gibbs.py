@@ -38,13 +38,61 @@ def _heat_bath_sweep(s, u, beta, h, J):
     return jax.lax.fori_loop(0, n, body, s)
 
 
-@partial(jax.jit, static_argnames=("num_reads", "num_warmup"))
+def _pair_heat_bath_sweep(s, u, beta, h, J):
+    """One sequential PAIR-Gibbs sweep: consecutive variable pairs
+    (0,1),(2,3),… are jointly resampled from their exact 4-state
+    conditional (a trailing odd variable gets a single heat-bath draw).
+    Halves the sequential depth per sweep — the packed kernel's measured
+    floor is its per-sub-step chain (PERFORMANCE.md §1), so this is the
+    VERDICT r2 #5 "two-variable joint updates" lead.  Preserves the
+    Boltzmann distribution (sequential-scan Gibbs on pair blocks).
+
+    Uniform consumption: pair (i, i+1) draws from ``u[i]``; the Pallas
+    kernel consumes identically (CI debug tests lock the two).
+    """
+    n = h.shape[0]
+
+    def pair_body(q, s):
+        i = 2 * q
+        f1 = h[i] + jnp.dot(s, J[i], precision="highest")  # (R,)
+        f2 = h[i + 1] + jnp.dot(s, J[i + 1], precision="highest")
+        c = J[i, i + 1]
+        f1p = f1 - c * s[:, i + 1]  # fields excluding the partner
+        f2p = f2 - c * s[:, i]
+        e01 = -beta * f2p
+        e10 = -beta * f1p
+        e11 = -beta * (f1p + f2p + c)
+        m = jnp.maximum(jnp.maximum(e01, e10), jnp.maximum(e11, 0.0))
+        w00 = jnp.exp(-m)
+        w01 = jnp.exp(e01 - m)
+        w10 = jnp.exp(e10 - m)
+        w11 = jnp.exp(e11 - m)
+        Z = w00 + w01 + w10 + w11
+        t = u[i] * Z
+        cum2 = w00 + w01
+        cum3 = cum2 + w10
+        new1 = (t >= cum2).astype(s.dtype)
+        new2 = (((t >= w00) & (t < cum2)) | (t >= cum3)).astype(s.dtype)
+        return s.at[:, i].set(new1).at[:, i + 1].set(new2)
+
+    s = jax.lax.fori_loop(0, n // 2, pair_body, s)
+    if n % 2:
+        i = n - 1
+        f = h[i] + jnp.dot(s, J[i], precision="highest")
+        # u < σ(-βf) ⟺ u·(1 + exp(βf)) < 1 (inf-safe: overflow → stay 0)
+        w = jnp.exp(beta * f)
+        s = s.at[:, i].set((u[i] * (1.0 + w) < 1.0).astype(s.dtype))
+    return s
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair"))
 def gibbs_sample(
     key: jax.Array,
     Q: jax.Array,
     num_reads: int,
     num_warmup: int = 32,
     beta: float = 1.0,
+    pair: bool = False,
 ) -> jax.Array:
     """Draw ``num_reads`` approximate Boltzmann samples at inverse temp ``beta``.
 
@@ -61,27 +109,31 @@ def gibbs_sample(
     key_init, key_run = jax.random.split(key)
     s0 = jax.random.bernoulli(key_init, 0.5, (num_reads, n)).astype(jnp.float32)
     sweep_keys = jax.random.split(key_run, num_warmup)
+    sweep = _pair_heat_bath_sweep if pair else _heat_bath_sweep
 
     def step(s, xs):
         b, k = xs
         u = jax.random.uniform(k, (n, num_reads))
-        return _heat_bath_sweep(s, u, b, h, J), None
+        return sweep(s, u, b, h, J), None
 
     s, _ = jax.lax.scan(step, s0, (betas, sweep_keys))
     return s
 
 
-@partial(jax.jit, static_argnames=("num_reads", "num_warmup"))
+@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair"))
 def gibbs_sample_batch(
     key: jax.Array,
     Q: jax.Array,
     num_reads: int,
     num_warmup: int = 32,
     beta: float = 1.0,
+    pair: bool = False,
 ) -> jax.Array:
     """Batched variant: ``Q`` (B, n, n) → samples (B, num_reads, n).
     ``key``: single key, or a (B,) key array (one per problem — position-
     independent noise streams for seed-parallel sweeps)."""
     B = Q.shape[0]
     keys = key if key.ndim else jax.random.split(key, B)
-    return jax.vmap(lambda k, q: gibbs_sample(k, q, num_reads, num_warmup, beta))(keys, Q)
+    return jax.vmap(
+        lambda k, q: gibbs_sample(k, q, num_reads, num_warmup, beta, pair)
+    )(keys, Q)

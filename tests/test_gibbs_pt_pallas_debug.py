@@ -195,6 +195,66 @@ def test_heatbath_statistics_match_oracle():
     assert np.allclose(np.asarray(s).mean(axis=0), np.asarray(marg), atol=0.08)
 
 
+def _pair_gibbs_reference_trajectory(Q, init01, uniforms, num_warmup, beta):
+    """Same anneal via gibbs._pair_heat_bath_sweep with the kernel's beta
+    formula."""
+    from qbmx.samplers.gibbs import _pair_heat_bath_sweep
+
+    B = Q.shape[0]
+    hot0, _ = default_beta_range(Q)
+    hot = jnp.minimum(hot0.astype(jnp.float32), jnp.float32(beta))
+    if num_warmup == 1:
+        hot = jnp.full_like(hot, beta)
+    inv_span = np.float32(1.0 / max(num_warmup - 1, 1))
+    out = []
+    for b in range(B):
+        h, J = split_qubo(Q[b])
+        s = jnp.asarray(init01[b], jnp.float32)
+        logr = jnp.log(jnp.float32(beta) / hot[b])
+        for t in range(num_warmup):
+            frac = jnp.float32(t) * inv_span
+            bt = hot[b] * jnp.exp(logr * frac)
+            s = _pair_heat_bath_sweep(
+                s, jnp.asarray(uniforms[t, b], jnp.float32), bt, h, J)
+        out.append(np.asarray(s))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize(
+    "n,B,reads,sweeps",
+    [
+        (20, 8, 8, 6),   # block-sweep, P=8, K=16 → 8 pairs per block
+        (41, 1, 4, 4),   # odd n: trailing single-variable sub-step
+        (5, 3, 8, 6),    # mask-geometry shape forced onto the block path
+    ],
+)
+def test_pair_gibbs_trajectories_match_mirror(n, B, reads, sweeps):
+    rng = np.random.default_rng(n * 37 + B)
+    Q, init01, uniforms = _random_problem(rng, B, n, reads, sweeps)
+    got = gibbs_sample_batch_pallas(
+        jax.random.key(0), Q, reads, sweeps, beta=1.0, pair=True,
+        interpret=True, debug_randoms=(init01, uniforms),
+    )
+    want = _pair_gibbs_reference_trajectory(Q, init01, uniforms, sweeps, 1.0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pair_gibbs_statistics_match_oracle():
+    """Pair-Gibbs preserves the Boltzmann distribution: XLA path vs the
+    exact oracle at beta=1."""
+    from qbmx.samplers.gibbs import gibbs_sample
+
+    rng = np.random.default_rng(11)
+    n = 6
+    Q = jnp.asarray(np.triu(rng.uniform(-1, 1, (n, n))), jnp.float32)
+    _, _, marg, pair_m = exact_boltzmann(Q, beta=1.0)
+    s = gibbs_sample(jax.random.key(4), Q, 2048, num_warmup=64, beta=1.0,
+                     pair=True)
+    assert np.allclose(np.asarray(s).mean(axis=0), np.asarray(marg), atol=0.05)
+    emp = np.einsum("mi,mj->ij", np.asarray(s), np.asarray(s)) / s.shape[0]
+    assert np.allclose(emp, np.asarray(pair_m), atol=0.07)
+
+
 def test_bms_pt_routing(monkeypatch):
     """GibbsSampler shares SA's measured routing; PTSampler requires a
     power-of-two ladder dividing the pack and skips the large-batch XLA
