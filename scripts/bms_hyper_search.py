@@ -102,11 +102,18 @@ SCREEN = (
        for h in (2, 5)]
 )
 
-# edit after the screen: top configs by best-single acc
+# edit after the screen: top configs by best-single acc (screen results in
+# bms_hyper_search.jsonl: best singles 0.8205-0.8269, means ~0.80) plus the
+# beta_eff / batch-size axes the screen didn't cover
 EXPLOIT = [
-    {"solver": "BMS", "h": 2, "lr": 0.453, "e": 30},
-    {"solver": "BMS", "h": 2, "lr": 0.8, "e": 30},
+    {"solver": "SA", "h": 8, "lr": 0.307, "e": 30},
+    {"solver": "BMS", "h": 8, "lr": 0.453, "e": 30},
     {"solver": "BMS", "h": 3, "lr": 0.453, "e": 30},
+    {"solver": "SA", "h": 2, "lr": 0.453, "e": 30},
+    {"solver": "PT", "h": 5, "lr": 0.453, "sweeps": 128, "e": 30},
+    {"solver": "BMS", "h": 3, "lr": 0.453, "e": 30, "beta_eff": 2.0},
+    {"solver": "BMS", "h": 8, "lr": 0.453, "e": 30, "bs": 36},
+    {"solver": "BMS", "h": 5, "lr": 0.3, "e": 30, "beta_eff": 3.0},
 ]
 
 
