@@ -1,0 +1,82 @@
+"""Full per-seed metric curves for the search winner (BMS h8 lr0.55 bs36).
+
+Dumps every (seed, epoch) test acc/AUC pair so the Pareto front of the
+selection is visible (the staged search JSONL only keeps best-by-acc
+points and the joint-criterion flags).  Output:
+out/parity/bms_winner_curves.json + a printed Pareto summary.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from qbmx.cli._common import load_dataset
+from qbmx.cli.rbm_main import DEFAULT_SEEDS
+from qbmx.data import loaders
+from qbmx.train.sweep import SeedParallelDQBM
+from scripts.bms_hyper_search import EXTRA_SEEDS, REF_ACC, REF_AUC
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=0.55)
+    ap.add_argument("--bs", type=int, default=36)
+    ap.add_argument("--e", type=int, default=40)
+    ap.add_argument("--solver", type=str, default="BMS")
+    ap.add_argument("--seeds", type=int, default=30)
+    args = ap.parse_args()
+
+    (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
+    train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
+    seeds = (list(DEFAULT_SEEDS) + EXTRA_SEEDS)[: args.seeds]
+
+    t0 = time.time()
+    sweep = SeedParallelDQBM(
+        seeds, dim_input=train_X.shape[1], n_hidden_nodes=args.h,
+        restricted=False, sample_count=1000, anneal_steps=1000,
+        solver=args.solver, epoch_segment=16)
+    hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.e,
+                        batch_size=args.bs, learning_rate=args.lr,
+                        verbose=False)
+    dt = time.time() - t0
+
+    curves = {str(s): {"acc": h.acc_per_epoch, "auc": h.auc_per_epoch}
+              for s, h in zip(seeds, hists)}
+    out = Path(__file__).resolve().parent.parent / "out" / "parity"
+    cfg = {"solver": args.solver, "h": args.h, "lr": args.lr,
+           "bs": args.bs, "e": args.e, "n_seeds": args.seeds}
+    with open(out / "bms_winner_curves.json", "w") as f:
+        json.dump({"cfg": cfg, "time_s": dt, "curves": curves}, f)
+
+    pts = [(a, u, s, e + 1) for s, c in curves.items()
+           for e, (a, u) in enumerate(zip(c["acc"], c["auc"]))]
+    pts.sort(key=lambda p: (-p[0], -p[1]))
+    print(f"config {cfg}  [{dt:.0f}s]")
+    print("top by acc:")
+    for a, u, s, e in pts[:8]:
+        print(f"  acc {a:.4f} auc {u:.4f}  seed {s} e{e}")
+    pareto = []
+    best_u = -1.0
+    for a, u, s, e in pts:
+        if u > best_u:
+            pareto.append((a, u, s, e))
+            best_u = u
+    print("acc/AUC Pareto front (desc acc):")
+    for a, u, s, e in pareto:
+        tag = " <= JOINT BEAT" if a >= REF_ACC and u >= REF_AUC else ""
+        print(f"  acc {a:.4f} auc {u:.4f}  seed {s} e{e}{tag}")
+    print("max auc anywhere:", max(pts, key=lambda p: p[1]))
+
+
+if __name__ == "__main__":
+    main()
