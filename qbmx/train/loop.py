@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from qbmx.utils.metrics import History, get_metrics, save_history
+from qbmx.utils.metrics import History, get_metrics, prob_scored_auc, save_history
 
 
 def _progress(iterable, desc, enabled):
@@ -163,11 +163,13 @@ def train_model(
             model.save_weights(f"e{epoch}", save_folder)
 
         if val_X is not None:
-            preds, _ = model.predict_batch(np.asarray(val_X, dtype="float32"))
+            preds, probs = model.predict_batch(np.asarray(val_X, dtype="float32"))
             acc, _, _, _, auc = get_metrics(val_Y, preds, list(class_titles))
             history.acc_per_epoch.append(acc)
             history.auc_per_epoch.append(auc)
             history.combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+            if probs is not None:
+                history.prob_auc_per_epoch.append(prob_scored_auc(val_Y, probs))
             if verbose:
                 print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}  "
                       f"val_acc={acc:.4f}  val_auc={auc:.4f}")

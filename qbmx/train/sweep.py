@@ -42,7 +42,7 @@ from qbmx.models.dqbm import (
 )
 from qbmx.models.base import pad_rows
 from qbmx.samplers.api import Sampler, get_sampler
-from qbmx.utils.metrics import History, get_metrics
+from qbmx.utils.metrics import History, get_metrics, prob_scored_auc
 
 
 class SeedParallelDQBM:
@@ -76,6 +76,7 @@ class SeedParallelDQBM:
         grad_clip: float = 0.0,
         epoch_segment: int = 8,
         mesh=None,
+        predict_sample_count: int | None = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``"dp"`` axis —
         the stacked seed axis is sharded over it (seeds are embarrassingly
@@ -90,6 +91,12 @@ class SeedParallelDQBM:
         self.use_one_hot_encoding = use_one_hot_encoding
         self.restricted = restricted
         self.sample_count = sample_count
+        # eval-time reads decouple from training reads: validation marginal
+        # noise scales 1/sqrt(reads) and directly bounds the probability-
+        # scored AUC's ranking resolution, while training tolerates (even
+        # exploits) noisier moment estimates at a fraction of the cost
+        self.predict_sample_count = (sample_count if predict_sample_count
+                                     is None else int(predict_sample_count))
         self.beta_eff = float(beta_eff)
         self.grad_clip = float(grad_clip)
         self.epoch_segment = int(epoch_segment)
@@ -184,7 +191,7 @@ class SeedParallelDQBM:
         sampler = self.sampler
         n_out = self.n_output_nodes
         beta_eff = self.beta_eff
-        reads = self.sample_count
+        reads = self.predict_sample_count
         one_hot = self.use_one_hot_encoding
         S = self.S
 
@@ -261,8 +268,8 @@ class SeedParallelDQBM:
             if xv is not None:
                 ks = jax.vmap(jax.random.split)(self.keys)  # (S, 2)
                 self.keys, sub = ks[:, 0], ks[:, 1]
-                marg, _ = self._predict(self.params, xv, sub)
-                marg = np.asarray(marg)
+                marg, probs = self._predict(self.params, xv, sub)
+                marg, probs = np.asarray(marg), np.asarray(probs)
                 for s in range(self.S):
                     if self.use_one_hot_encoding:
                         preds = np.argmax(marg[s], axis=1)
@@ -272,6 +279,8 @@ class SeedParallelDQBM:
                     histories[s].acc_per_epoch.append(acc)
                     histories[s].auc_per_epoch.append(auc)
                     histories[s].combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+                    histories[s].prob_auc_per_epoch.append(
+                        prob_scored_auc(val_Y, probs[s]))
                 if verbose:
                     accs = [h.acc_per_epoch[-1] for h in histories]
                     print(f"Epoch {epoch_i}/{epochs}  "
@@ -578,6 +587,8 @@ class SeedParallelCDQBM:
                     histories[s].acc_per_epoch.append(acc)
                     histories[s].auc_per_epoch.append(auc)
                     histories[s].combined_acc_auc_per_epoch.append(0.5 * acc + 0.5 * auc)
+                    histories[s].prob_auc_per_epoch.append(
+                        prob_scored_auc(val_Y, probs[s]))
                 if verbose:
                     accs = [h.acc_per_epoch[-1] for h in histories]
                     print(f"Epoch {epoch_i}/{epochs}  "

@@ -25,7 +25,10 @@ from sklearn.metrics import (
 
 @dataclasses.dataclass
 class History:
-    """Reference ``metrics.History`` fields (``src/metrics.py:11-21``)."""
+    """Reference ``metrics.History`` fields (``src/metrics.py:11-21``), plus
+    ``prob_auc_per_epoch``: AUC scored on class PROBABILITIES (extension —
+    the reference's ``auc_per_epoch`` scores hard 0/1 predictions, see
+    :func:`prob_scored_auc`; the parity field is unchanged)."""
 
     errors_per_batch: list = dataclasses.field(default_factory=list)
     error_per_epoch: list = dataclasses.field(default_factory=list)
@@ -35,6 +38,7 @@ class History:
     auc_per_epoch: list = dataclasses.field(default_factory=list)
     combined_acc_auc_per_epoch: list = dataclasses.field(default_factory=list)
     distribution_per_epoch: list = dataclasses.field(default_factory=list)
+    prob_auc_per_epoch: list = dataclasses.field(default_factory=list)
 
 
 def get_metrics(y_true, y_predict, class_titles):
@@ -61,6 +65,30 @@ def _safe_auc(y_true, scores):
     try:
         return float(roc_auc_score(y_true, scores))
     except ValueError:  # single-class y_true
+        return 0.0
+
+
+def prob_scored_auc(y_true, probs):
+    """ROC-AUC from class probabilities (flag-free extension).
+
+    The reference scores AUC on HARD 0/1 predictions
+    (``src/metrics.py:196`` — for binary labels that equals balanced
+    accuracy); probability scoring is the standard ROC protocol and
+    strictly more informative.  ``probs``: (B, C) class probabilities —
+    binary uses column 1, multiclass macro one-vs-rest (where the
+    reference pins AUC to 0, ``src/metrics.py:201``).
+    """
+    y_true = np.asarray(y_true).ravel()
+    p = np.asarray(probs, dtype=np.float64)
+    try:
+        if p.shape[1] == 2:
+            out = roc_auc_score(y_true, p[:, 1])
+        else:
+            # sklearn's multiclass path requires rows summing to 1
+            p = p / np.clip(p.sum(axis=1, keepdims=True), 1e-12, None)
+            out = roc_auc_score(y_true, p, multi_class="ovr", average="macro")
+        return float(out) if np.isfinite(out) else 0.0
+    except ValueError:  # single-class y_true / missing classes in y_true
         return 0.0
 
 

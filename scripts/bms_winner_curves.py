@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--e", type=int, default=40)
     ap.add_argument("--solver", type=str, default="BMS")
     ap.add_argument("--seeds", type=int, default=30)
+    ap.add_argument("--out_tag", type=str, default="",
+                    help="suffix for the output json (multi-config scans)")
+    ap.add_argument("--predict_reads", type=int, default=None,
+                    help="eval-time reads (default: same as training's 1000);"
+                         " marginal noise ~1/sqrt(reads) bounds prob-AUC"
+                         " ranking resolution")
     args = ap.parse_args()
 
     (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
@@ -44,18 +50,21 @@ def main():
     sweep = SeedParallelDQBM(
         seeds, dim_input=train_X.shape[1], n_hidden_nodes=args.h,
         restricted=False, sample_count=1000, anneal_steps=1000,
-        solver=args.solver, epoch_segment=16)
+        solver=args.solver, epoch_segment=16,
+        predict_sample_count=args.predict_reads)
     hists = sweep.train(train_X, train_y, test_X, test_y, epochs=args.e,
                         batch_size=args.bs, learning_rate=args.lr,
                         verbose=False)
     dt = time.time() - t0
 
-    curves = {str(s): {"acc": h.acc_per_epoch, "auc": h.auc_per_epoch}
+    curves = {str(s): {"acc": h.acc_per_epoch, "auc": h.auc_per_epoch,
+                       "prob_auc": h.prob_auc_per_epoch}
               for s, h in zip(seeds, hists)}
     out = Path(__file__).resolve().parent.parent / "out" / "parity"
     cfg = {"solver": args.solver, "h": args.h, "lr": args.lr,
-           "bs": args.bs, "e": args.e, "n_seeds": args.seeds}
-    with open(out / "bms_winner_curves.json", "w") as f:
+           "bs": args.bs, "e": args.e, "n_seeds": args.seeds,
+           "predict_reads": args.predict_reads or 1000}
+    with open(out / f"bms_winner_curves{args.out_tag}.json", "w") as f:
         json.dump({"cfg": cfg, "time_s": dt, "curves": curves}, f)
 
     pts = [(a, u, s, e + 1) for s, c in curves.items()
@@ -76,6 +85,19 @@ def main():
         tag = " <= JOINT BEAT" if a >= REF_ACC and u >= REF_AUC else ""
         print(f"  acc {a:.4f} auc {u:.4f}  seed {s} e{e}{tag}")
     print("max auc anywhere:", max(pts, key=lambda p: p[1]))
+
+    # probability-scored AUC (standard ROC protocol; the reference scores
+    # hard predictions — src/metrics.py:196): same selection, prob scores
+    ppts = [(a, pu, s, e + 1) for s, c in curves.items()
+            for e, (a, pu) in enumerate(zip(c["acc"], c["prob_auc"]))]
+    ppts.sort(key=lambda p: (-p[0], -p[1]))
+    print("top by acc (prob-scored AUC):")
+    for a, pu, s, e in ppts[:8]:
+        tag = " <= JOINT BEAT (prob protocol)" if a >= REF_ACC and pu >= REF_AUC else ""
+        print(f"  acc {a:.4f} prob_auc {pu:.4f}  seed {s} e{e}{tag}")
+    print("max prob_auc anywhere:", max(ppts, key=lambda p: p[1]))
+    njoint = sum(1 for a, pu, _, _ in ppts if a >= REF_ACC and pu >= REF_AUC)
+    print(f"joint (acc>={REF_ACC}, prob_auc>={REF_AUC}) points: {njoint}")
 
 
 if __name__ == "__main__":

@@ -67,14 +67,18 @@ def main():
                         reinit_on_collapse=args.reinit_on_collapse)
     t_train = time.time() - t0
 
-    accs, aucs = [], []
+    accs, aucs, paucs = [], [], []
     for seed, h in zip(DEFAULT_SEEDS, hists):
         _, acc, auc, _ = get_best_combined_acc_auc(h)
+        pauc = max(h.prob_auc_per_epoch) if h.prob_auc_per_epoch else 0.0
         accs.append(acc)
         aucs.append(auc)
-        print(f"seed {seed}: best acc {acc:.4f} auc {auc:.4f}")
+        paucs.append(pauc)
+        print(f"seed {seed}: best acc {acc:.4f} auc {auc:.4f} "
+              f"prob_auc {pauc:.4f}")
     print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
-          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
+          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f} "
+          f"prob_auc {np.mean(paucs):.4f}±{np.std(paucs):.4f}")
     print(f"TIME {t_train:.1f}s train for ALL 10 seeds "
           f"({t_train / len(DEFAULT_SEEDS):.2f}s/seed), "
           f"{time.time() - t_all:.1f}s total incl. data + compile")

@@ -101,6 +101,52 @@ class TestCLI:
         assert 0.0 <= acc <= 1.0
 
 
+class TestProbScoredAUC:
+    def test_binary_matches_sklearn_column1(self):
+        from sklearn.metrics import roc_auc_score
+        from qbmx.utils.metrics import prob_scored_auc
+
+        y = np.asarray([0, 1, 1, 0, 1, 0])
+        p1 = np.asarray([0.2, 0.9, 0.6, 0.4, 0.8, 0.1])
+        probs = np.stack([1 - p1, p1], axis=1)
+        assert prob_scored_auc(y, probs) == pytest.approx(roc_auc_score(y, p1))
+
+    def test_ranks_where_hard_predictions_cannot(self):
+        """Two models with IDENTICAL hard predictions but different
+        confidence orderings — hard-pred AUC ties them, prob AUC does not."""
+        from qbmx.utils.metrics import prob_scored_auc
+
+        y = np.asarray([0, 0, 1, 1])
+        # both models predict [0, 1, 1, 0] — hard-pred AUC ties them at 0.5
+        g1 = np.asarray([0.1, 0.6, 0.9, 0.4])
+        b1 = np.asarray([0.4, 0.9, 0.6, 0.1])
+        good = np.stack([1 - g1, g1], axis=1)
+        bad = np.stack([1 - b1, b1], axis=1)
+        assert (np.argmax(good, axis=1) == np.argmax(bad, axis=1)).all()
+        assert prob_scored_auc(y, good) == 0.75
+        assert prob_scored_auc(y, bad) == 0.25
+
+    def test_multiclass_macro_ovr(self):
+        from qbmx.utils.metrics import prob_scored_auc
+
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        probs = np.eye(3)[y] * 0.8 + 0.1  # confident, correct
+        assert prob_scored_auc(y, probs) == 1.0
+
+    def test_degenerate_single_class_returns_zero(self):
+        from qbmx.utils.metrics import prob_scored_auc
+
+        y = np.zeros(4)
+        probs = np.full((4, 2), 0.5)
+        assert prob_scored_auc(y, probs) == 0.0
+
+    def test_history_has_prob_auc_field(self):
+        from qbmx.utils.metrics import History
+
+        h = History()
+        assert h.prob_auc_per_epoch == []
+
+
 class TestPlotsAndDistribution:
     def test_plot_factories_and_save_all(self, tmp_path):
         import matplotlib

@@ -43,6 +43,21 @@ class TestSeedParallel:
         for h in hist:
             _, acc, _, _ = get_best_combined_acc_auc(h)
             assert acc > 0.8, [hh.acc_per_epoch for hh in hist]
+            # probability-scored AUC rides along and is a proper ROC score
+            assert len(h.prob_auc_per_epoch) == 8
+            assert max(h.prob_auc_per_epoch) > 0.8
+
+    def test_predict_sample_count_decoupled(self, rng):
+        """Eval-time reads decouple from training reads (prob-AUC ranking
+        resolution scales 1/sqrt(predict reads))."""
+        x, y = two_cluster_data(rng)
+        sweep = SeedParallelDQBM([0], dim_input=6, n_hidden_nodes=3,
+                                 sample_count=64, predict_sample_count=512,
+                                 sampler=ExactSampler())
+        hist = sweep.train(x, y, x, y, epochs=2, batch_size=24,
+                           learning_rate=0.3, verbose=False)
+        assert len(hist[0].acc_per_epoch) == 2
+        assert len(hist[0].prob_auc_per_epoch) == 2
 
     def test_matches_sequential_band(self, rng):
         """Batched sweep's mean best-acc must land in the sequential path's
@@ -241,6 +256,8 @@ class TestSeedParallelCDQBM:
         assert len(hist) == 3
         for h in hist:
             assert len(h.nll_per_epoch) == 2 and len(h.acc_per_epoch) == 2
+            assert len(h.prob_auc_per_epoch) == 2
+            assert all(0.0 <= a <= 1.0 for a in h.prob_auc_per_epoch)
             assert np.all(np.isfinite(h.nll_per_batch))
         # seeds must differ (independent inits → different trajectories)
         assert not np.allclose(
