@@ -367,6 +367,57 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         Q = Q.at[oidx, oidx].add(params.b_o)
         return Q / self.beta_eff
 
+    # Structured (shared-coupling) forms: the stack's couplings (penalties,
+    # sequential weights, w_h2o, w_oo) and parameter biases are example-
+    # independent; the image enters only through the conv linear terms and
+    # the clamped label only through the last-hidden effective fields.  So
+    # ``<phase>_qubo(params, x, …) == <phase>_qubo_shared(params) +
+    # diag(<phase>_fields(params, x, …))`` exactly (pinned by
+    # tests/test_cdqbm.py) — the contract sampler_sample_groups / the lane
+    # kernel (qbmx/samplers/sa_lane.py) exploit.
+
+    def _zero_conv_bias(self):
+        cs = self.geo.conv_slice
+        return jnp.zeros(cs.stop - cs.start)
+
+    def clamped_qubo_shared(self, params: CDQBMParams):
+        """(n_hidden, n_hidden) example-independent clamped-QUBO part."""
+        return self._hidden_block(params, self._zero_conv_bias()) / self.beta_eff
+
+    def clamped_fields(self, params: CDQBMParams, x_img, label_vec):
+        """(n_hidden,) per-example linear terms of the clamped QUBO."""
+        geo = self.geo
+        fmap_flat, pooled_idx, _ = self._context(params, x_img)
+        cb = self._conv_linear_terms(params, fmap_flat, pooled_idx)
+        cs = geo.conv_slice
+        h = jnp.zeros(geo.n_hidden).at[jnp.arange(cs.start, cs.stop)].add(cb)
+        eff = (params.w_h2o @ label_vec.reshape(-1, 1)).reshape(-1)
+        ls = geo.last_hidden_slice
+        h = h.at[jnp.arange(ls.start, ls.stop)].add(eff)
+        return h / self.beta_eff
+
+    def unclamped_qubo_shared(self, params: CDQBMParams):
+        """(n_total, n_total) example-independent unclamped-QUBO part."""
+        geo = self.geo
+        Qh = self._hidden_block(params, self._zero_conv_bias())
+        n = geo.n_total
+        Q = jnp.zeros((n, n))
+        Q = Q.at[: geo.n_hidden, : geo.n_hidden].add(Qh)
+        Q = Q.at[geo.last_hidden_slice, geo.out_slice].add(params.w_h2o)
+        Q = Q.at[geo.out_slice, geo.out_slice].add(jnp.triu(params.w_oo, k=1))
+        oidx = jnp.arange(geo.n_hidden, n)
+        Q = Q.at[oidx, oidx].add(params.b_o)
+        return Q / self.beta_eff
+
+    def unclamped_fields(self, params: CDQBMParams, x_img):
+        """(n_total,) per-example linear terms of the unclamped QUBO."""
+        geo = self.geo
+        fmap_flat, pooled_idx, _ = self._context(params, x_img)
+        cb = self._conv_linear_terms(params, fmap_flat, pooled_idx)
+        cs = geo.conv_slice
+        h = jnp.zeros(geo.n_total).at[jnp.arange(cs.start, cs.stop)].add(cb)
+        return h / self.beta_eff
+
     # -- moment estimation ---------------------------------------------------
 
     def _moments(self, params, samples, x_img, label_vec=None):
@@ -470,18 +521,28 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             else y.astype(jnp.float32)[:, None]
         )
         kc, ku = jax.random.split(key)
-        Qc = jax.vmap(lambda xi, yi: self.clamped_qubo(params, xi, yi))(x_imgs, y_vec)
-        Qu = jax.vmap(lambda xi: self.unclamped_qubo(params, xi))(x_imgs)
-        # fuse both phases into one sampler call (clamped QUBOs zero-padded
-        # by n_out variables; padding couples to nothing and is sliced off)
+        # fuse both phases into one sampler call as two shared-coupling
+        # GROUPS (structured form — see the builders above; the clamped
+        # group is zero-padded by n_out variables which couple to nothing
+        # and are sliced off).  Dense-fallback samplers see the identical
+        # [clamped…, unclamped…] 2B batch the dense path built.
         B = x_imgs.shape[0]
         nh, nt = geo.n_hidden, geo.n_total
-        Qc_pad = jnp.zeros((B, nt, nt), Qc.dtype).at[:, :nh, :nh].set(Qc)
-        s_all = self.sampler.sample_batch(
-            ku, jnp.concatenate([Qc_pad, Qu], axis=0), self.sample_count
+        Qc_sh = self.clamped_qubo_shared(params)
+        Qu_sh = self.unclamped_qubo_shared(params)
+        hc = jax.vmap(lambda xi, yi: self.clamped_fields(params, xi, yi))(x_imgs, y_vec)
+        hu = jax.vmap(lambda xi: self.unclamped_fields(params, xi))(x_imgs)
+        Qc_pad = jnp.zeros((nt, nt), Qc_sh.dtype).at[:nh, :nh].set(Qc_sh)
+        from qbmx.samplers.api import sampler_sample_groups
+
+        s_all = sampler_sample_groups(
+            self.sampler, ku,
+            jnp.stack([Qc_pad, Qu_sh]),
+            jnp.stack([jnp.pad(hc, ((0, 0), (0, nt - nh))), hu]),
+            self.sample_count,
         )
-        s_c = s_all[:B, :, :nh]
-        s_u = s_all[B:]
+        s_c = s_all[0, :, :, :nh]
+        s_u = s_all[1]
 
         mc = jax.vmap(lambda s, xi, yi: self._moments(params, s, xi, yi))(s_c, x_imgs, y_vec)
         mu = jax.vmap(lambda s, xi: self._moments(params, s, xi))(s_u, x_imgs)
@@ -524,8 +585,12 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         return jnp.where(tot > 0, marg / tot, 1.0 / geo.n_out)
 
     def _predict_fn(self, params, x_imgs, key):
-        Qu = jax.vmap(lambda xi: self.unclamped_qubo(params, xi))(x_imgs)
-        s_u = self.sampler.sample_batch(key, Qu, self.sample_count)
+        from qbmx.samplers.api import sampler_sample_groups
+
+        Qu_sh = self.unclamped_qubo_shared(params)
+        hu = jax.vmap(lambda xi: self.unclamped_fields(params, xi))(x_imgs)
+        s_u = sampler_sample_groups(self.sampler, key, Qu_sh[None], hu[None],
+                                    self.sample_count)[0]
         probs = self._probs_from_samples(s_u)
         return probs
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qbmx.models.base import EpochLaunchMixin, QBMModel
-from qbmx.samplers.api import Sampler, get_sampler
+from qbmx.samplers.api import Sampler, get_sampler, sampler_sample_groups
 from qbmx.samplers.api import sampler_jit_safe as _jit_safe
 
 Pytree = Any
@@ -111,6 +111,45 @@ def unclamped_qubo(params: DQBMParams, x: jax.Array, beta_eff: float):
 
 clamped_qubo_batch = jax.vmap(clamped_qubo, in_axes=(None, 0, 0, None))
 unclamped_qubo_batch = jax.vmap(unclamped_qubo, in_axes=(None, 0, None))
+
+
+# Structured (shared-coupling) forms of the same builders: the couplings
+# and biases come from the parameters only, while the clamped visibles
+# enter as per-example LINEAR terms — so ``<phase>_qubo(params, x, ...) ==
+# <phase>_qubo_shared(params, ...) + diag(<phase>_fields(params, x, ...))``
+# exactly (pinned by tests/test_dqbm.py).  Samplers exploit this through
+# sampler_sample_groups (lane kernel on TPU — qbmx/samplers/sa_lane.py).
+
+
+def clamped_qubo_shared(params: DQBMParams, beta_eff: float):
+    """(H, H) example-independent part of the clamped QUBO."""
+    Q = jnp.diag(params.b_h) + jnp.triu(params.w_hh, k=1)
+    return Q / beta_eff
+
+
+def clamped_fields(params: DQBMParams, x: jax.Array, y_vec: jax.Array,
+                   beta_eff: float):
+    """(B, H) per-example linear terms of the clamped QUBO."""
+    v = jnp.concatenate([y_vec, x], axis=-1)  # (B, O+D)
+    return (v @ params.w_vh) / beta_eff
+
+
+def unclamped_qubo_shared(params: DQBMParams, beta_eff: float):
+    """((O+H), (O+H)) example-independent part of the unclamped QUBO."""
+    n_out = params.b_o.shape[0]
+    H = params.b_h.shape[0]
+    Q = jnp.diag(jnp.concatenate([params.b_o, params.b_h]))
+    Q = Q.at[:n_out, :n_out].add(jnp.triu(params.w_oo, k=1))
+    Q = Q.at[:n_out, n_out:].add(params.w_vh[:n_out])
+    Q = Q.at[n_out:, n_out:].add(jnp.triu(params.w_hh, k=1))
+    return Q / beta_eff
+
+
+def unclamped_fields(params: DQBMParams, x: jax.Array, beta_eff: float):
+    """(B, O+H) per-example linear terms of the unclamped QUBO."""
+    n_out = params.b_o.shape[0]
+    f = jnp.concatenate([x @ params.w_vo, x @ params.w_vh[n_out:]], axis=-1)
+    return f / beta_eff
 
 
 # ---------------------------------------------------------------------------
@@ -290,9 +329,11 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
                 else y.astype(jnp.float32)[:, None]
             )
             kc, ku = jax.random.split(key)
-            Qu = unclamped_qubo_batch(params, x, beta_eff)
             B = x.shape[0]
             H = params.b_h.shape[0]
+            Qu_sh = unclamped_qubo_shared(params, beta_eff)
+            hu = unclamped_fields(params, x, beta_eff)  # (B, n_u)
+            n_u = Qu_sh.shape[-1]
             if linear_shortcut:
                 # restricted clamped QUBO is diagonal: ground state in closed
                 # form, replicated across reads like the reference's
@@ -302,22 +343,28 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
                 coin = jax.random.bernoulli(kc, 0.5, diag.shape).astype(jnp.float32)
                 gs = jnp.where(diag < 0, 1.0, jnp.where(diag > 0, 0.0, coin))
                 s_c = jnp.broadcast_to(gs[:, None, :], (B, reads, H))
-                s_u = sampler.sample_batch(ku, Qu, reads)
+                s_u = sampler_sample_groups(
+                    sampler, ku, Qu_sh[None], hu[None], reads
+                )[0]
             else:
-                # fuse both phases into ONE sampler invocation: the clamped
-                # H-var QUBOs are zero-padded to the unclamped size (padding
-                # variables couple to nothing — harmless, sliced off), so a
-                # single batch of 2B problems anneals together.  Halves
-                # kernel launches and shortens the sequential sweep chain
-                # (n_u steps instead of n_c + n_u).
-                Qc = clamped_qubo_batch(params, x, y_vec, beta_eff)
-                n_u = Qu.shape[-1]
-                Qc_pad = jnp.zeros((B, n_u, n_u), Qc.dtype).at[:, :H, :H].set(Qc)
-                s_all = sampler.sample_batch(
-                    ku, jnp.concatenate([Qc_pad, Qu], axis=0), reads
-                )
-                s_c = s_all[:B, :, :H]
-                s_u = s_all[B:]
+                # fuse both phases into ONE sampler invocation as TWO
+                # shared-coupling GROUPS (couplings come from the params;
+                # the clamped visibles are per-example linear terms — the
+                # structured form samplers exploit, sa_lane.py).  The
+                # clamped group is zero-padded to the unclamped size
+                # (padding variables couple to nothing — harmless, sliced
+                # off).  Dense-fallback samplers see the identical
+                # [clamped..., unclamped...] 2B-problem batch as before.
+                Qc_sh = clamped_qubo_shared(params, beta_eff)
+                hc = clamped_fields(params, x, y_vec, beta_eff)  # (B, H)
+                Qc_pad = jnp.zeros((n_u, n_u), Qc_sh.dtype).at[:H, :H].set(Qc_sh)
+                Q2 = jnp.stack([Qc_pad, Qu_sh])  # (2, n_u, n_u)
+                h2 = jnp.stack(
+                    [jnp.pad(hc, ((0, 0), (0, n_u - H))), hu]
+                )  # (2, B, n_u)
+                s_all = sampler_sample_groups(sampler, ku, Q2, h2, reads)
+                s_c = s_all[0, :, :, :H]
+                s_u = s_all[1]
 
             mc = clamped_moments(s_c, x, y_vec)
             mu = unclamped_moments(s_u, x, n_out)
@@ -350,8 +397,10 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
 
         @maybe_jit
         def predict_probs(params: DQBMParams, x, key):
-            Qu = unclamped_qubo_batch(params, x, beta_eff)
-            s_u = sampler.sample_batch(key, Qu, reads)
+            Qu_sh = unclamped_qubo_shared(params, beta_eff)
+            hu = unclamped_fields(params, x, beta_eff)
+            s_u = sampler_sample_groups(sampler, key, Qu_sh[None], hu[None],
+                                        reads)[0]
             marg = s_u[:, :, :n_out].mean(axis=1)
             probs = output_probs_from_samples(s_u, n_out, one_hot)
             return marg, probs

@@ -80,6 +80,49 @@ def _pack_fits_vmem(n: int, B: int, num_reads: int) -> bool:
     return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
 
 
+def densify_groups(Q_shared, h_extra):
+    """(G, n, n) shared QUBOs + (G, B, n) per-problem linear terms → the
+    (G*B, n, n) dense batch they represent (fallback path for samplers
+    without a structured fast path)."""
+    n = Q_shared.shape[-1]
+    diag = jax.vmap(jax.vmap(jnp.diagflat))(h_extra.astype(jnp.float32))
+    return (Q_shared[:, None] + diag).reshape(-1, n, n)
+
+
+def sampler_sample_groups(sampler, key, Q_shared, h_extra, num_reads):
+    """Structured shared-coupling sampling: every qbmx QUBO family shares
+    its couplings across the batch (only linear terms vary per example —
+    see qbmx.samplers.sa_lane), so models hand samplers ``Q_shared``
+    (G, n, n) + ``h_extra`` (G, B, n) instead of G·B dense matrices.
+    Samplers with a ``sample_groups`` method (SA/BMS lane kernel) exploit
+    the structure; everything else densifies and runs ``sample_batch``.
+    Returns (G, B, num_reads, n)."""
+    fn = getattr(sampler, "sample_groups", None)
+    if fn is not None:
+        return fn(key, Q_shared, h_extra, num_reads)
+    G, B, n = h_extra.shape
+    keys = key.reshape(-1) if key.ndim else key
+    flat = sampler.sample_batch(keys, densify_groups(Q_shared, h_extra), num_reads)
+    return flat.reshape(G, B, num_reads, n)
+
+
+def _lane_preferred(n: int, num_problems: int, num_reads: int) -> bool:
+    """Measured lane-vs-packed routing (v5e, scripts/probe_lane_kernel.py;
+    PERFORMANCE.md §1): the lane kernel wins every few-reads shape (its
+    chunk count stays far below the packed grid's program count — e.g.
+    B=600 n=41 R=100: 8.4 vs 19.2 ms; B=1200 n=6 R=128: 9.9 vs 49.2 ms;
+    B=60 n=41 R=100: 4.0 vs 13.9 ms vs the best dense alternative) and
+    every single-chunk shape (B=120 n=6 R=1000).  Many-reads multi-chunk
+    shapes stay with the packed kernel (+pair updates): B=1200 n=6 R=1000:
+    49.2 vs 86 ms; B=2160 n=9 R=1000: 18.9 vs 25.1 ms."""
+    from qbmx.samplers.sa_lane import lane_geometry
+
+    _, Lc, C, _ = lane_geometry(n, num_problems, num_reads)
+    if Lc == 0:
+        return False
+    return num_reads <= 256 or C == 1
+
+
 def _auto_route_packed(Q, num_reads: int, use_pallas: bool | None) -> bool:
     """Shared SA/BMS Pallas-vs-XLA routing (the two rules share the packed
     kernel machinery and their XLA fallbacks share the one-variable-per-
@@ -117,14 +160,40 @@ class SASampler:
             return sa_pallas.sa_sample_batch_pallas(key, Q, num_reads, self.num_sweeps)
         return _sa_jax.sa_sample_batch(key, Q, num_reads, self.num_sweeps)
 
+    def sample_groups(self, key, Q_shared, h_extra, num_reads):
+        """Structured shared-coupling path (see sampler_sample_groups):
+        lane kernel on TPU when the shape fits, dense fallback otherwise."""
+        G, B = h_extra.shape[:2]
+        # routing probes the PER-GROUP chunk count (the kernel grid is
+        # (groups, chunks-per-group); a single-chunk group costs one
+        # sequential program regardless of G)
+        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads):
+            from qbmx.samplers import sa_lane
+
+            return sa_lane.lane_sample_groups(
+                key, Q_shared, h_extra, num_reads, self.num_sweeps,
+                rule="metropolis",
+            )
+        keys = key.reshape(-1) if key.ndim else key
+        flat = self.sample_batch(keys, densify_groups(Q_shared, h_extra),
+                                 num_reads)
+        return flat.reshape(Q_shared.shape[0], B, num_reads,
+                            Q_shared.shape[-1])
+
     def scan_safe(self, n: int, num_reads: int) -> bool:
         """lax.scan-compatible iff not routed to the Pallas kernel (axon
         AOT hang).  Probed with shape metadata only — no device alloc."""
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
-        return not self._pallas_enabled(probe, num_reads)
+        return not (self._pallas_enabled(probe, num_reads)
+                    or self._lane_enabled(n, 1, num_reads))
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
+
+    def _lane_enabled(self, n: int, B: int, num_reads: int) -> bool:
+        if self.use_pallas is False or not _on_tpu():
+            return False
+        return _lane_preferred(n, B, num_reads)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,12 +205,16 @@ class GibbsSampler:
     ``pair_updates``: resample consecutive variable PAIRS from their exact
     4-state conditionals instead of one variable at a time — half the
     sequential sub-steps per sweep (the kernel's measured floor), same
-    stationary distribution (sequential-scan pair Gibbs)."""
+    stationary distribution (sequential-scan pair Gibbs).  ``None`` (the
+    default) enables pairs on the packed-kernel route — a measured
+    1.17–3.4× with oracle agreement unchanged
+    (out/parity/pair_gibbs_ab_r3.log) — and keeps the XLA path on
+    single-variable sweeps; pass True/False to force both paths."""
 
     num_warmup: int = 64
     beta: float = 1.0
     use_pallas: bool | None = None
-    pair_updates: bool = False
+    pair_updates: bool | None = None
 
     def sample_batch(self, key, Q, num_reads):
         if self._pallas_enabled(Q, num_reads):
@@ -149,17 +222,45 @@ class GibbsSampler:
 
             return sa_pallas.gibbs_sample_batch_pallas(
                 key, Q, num_reads, self.num_warmup, self.beta,
-                pair=self.pair_updates,
+                pair=self.pair_updates is not False,
             )
         return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup,
-                                         self.beta, pair=self.pair_updates)
+                                         self.beta,
+                                         pair=bool(self.pair_updates))
+
+    def sample_groups(self, key, Q_shared, h_extra, num_reads):
+        """Structured shared-coupling path (see sampler_sample_groups)."""
+        G, B = h_extra.shape[:2]
+        # routing probes the PER-GROUP chunk count (the kernel grid is
+        # (groups, chunks-per-group); a single-chunk group costs one
+        # sequential program regardless of G)
+        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads):
+            from qbmx.samplers import sa_lane
+
+            return sa_lane.lane_sample_groups(
+                key, Q_shared, h_extra, num_reads, self.num_warmup,
+                rule="heatbath",
+                beta_cold=jnp.full(h_extra.shape[:2], self.beta,
+                                   dtype=jnp.float32),
+            )
+        keys = key.reshape(-1) if key.ndim else key
+        flat = self.sample_batch(keys, densify_groups(Q_shared, h_extra),
+                                 num_reads)
+        return flat.reshape(Q_shared.shape[0], B, num_reads,
+                            Q_shared.shape[-1])
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
-        return not self._pallas_enabled(probe, num_reads)
+        return not (self._pallas_enabled(probe, num_reads)
+                    or self._lane_enabled(n, 1, num_reads))
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
+
+    def _lane_enabled(self, n: int, B: int, num_reads: int) -> bool:
+        if self.use_pallas is False or not _on_tpu():
+            return False
+        return _lane_preferred(n, B, num_reads)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,7 +355,7 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
             num_warmup=kwargs.get("num_warmup", num_sweeps),
             beta=kwargs.get("beta", 1.0),
             use_pallas=kwargs.get("use_pallas"),
-            pair_updates=kwargs.get("pair_updates", False),
+            pair_updates=kwargs.get("pair_updates"),
         )
     if s == "PT":
         return PTSampler(

@@ -1,0 +1,394 @@
+"""Pallas TPU kernel for shared-coupling batched sampling (lane-stacked).
+
+Every QUBO family in qbmx shares its COUPLINGS across the batch: the
+off-diagonal blocks come from model parameters (w_hh / w_seq / penalty
+matrices), while only the LINEAR terms vary per example (clamped visibles
+enter as fields — ``qbmx.models.dqbm.clamped_qubo``,
+``qbmx.models.cdqbm.CDQBM.clamped_qubo``; reference analogue:
+``src/qubo/builder.py:74-110`` re-assembles the same coupling structure
+per example and only the biases change).  The packed block-sweep kernel
+(``sa_pallas``) ignores this and replicates J per problem into a
+block-diagonal tile — paying a 1/P useful-flop ratio on the MXU and, at
+large n, hundreds of sequential grid programs (VERDICT r2 "What's weak"
+#4).  This kernel exploits the shared structure instead:
+
+**Lane-stacked layout.**  All problems of a group and all their chains
+live on the LANE axis: lane ``l = b * num_reads + r``.  One update step
+touches variable ``i`` of EVERY problem and chain at once — the grid is
+lane *chunks* (VMEM-sized), not problems, so the number of sequential
+grid programs drops from ``B/P`` to ``ceil(B·R/Lc)``.
+
+**Fold-8.**  A (1, L) row per variable would waste 7/8 of every VPU op
+(vregs are (8, 128) — CLAUDE.md).  Lanes are therefore folded 8-into-
+sublanes: state row ``i*8 + k`` holds variable ``i``, lane-fold ``k``,
+so a variable's slab is a full-utilization 8-aligned (8, Lw) block.  The
+local fields stay one MXU matmul per 8-variable block:
+
+    F = (J ⊗ I₈)[block rows, :] @ S        # (64, 8n) @ (8n, Lw)
+
+where ``J ⊗ I₈`` is the Kronecker expansion of the shared symmetric
+coupling matrix (built once per group on the host).  The ⊗I₈ zeros make
+this 8× redundant on the MXU — vs the packed kernel's P× (P up to 64)
+and against a ~25× MXU:VPU flop-rate ratio, so the matmuls stay a small
+fraction of each sweep.  In-block corrections after each accepted
+sub-step are (64, 8) @ (8, Lw) rank-8 updates from the per-block
+diagonal sub-blocks (same scheme as ``sa_pallas``).
+
+Update rules match ``sa_jax._metropolis_sweep`` / ``gibbs._heat_bath_sweep``
+exactly (same threshold forms, same per-sweep uniform consumption); the
+CI debug path feeds host-supplied variates under ``interpret=True`` and
+locks them bit-for-bit.
+
+Like every pallas_call, this kernel must NOT be placed inside lax.scan
+(axon AOT hang — CLAUDE.md); samplers route epoch launches accordingly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qbmx.core.qubo import split_qubo
+
+KVARS = 8  # variables fused per block-sweep step (block = KVARS*fold rows)
+
+# VMEM sizing (bytes): per-chunk working set ≈ state + thresholds + linear
+# terms + one live uniforms temp (4 arrays of 4·n_pad·Lc) plus the group's
+# J⊗I₈ tile.  Multi-chunk grids pipeline their blocks under the compiler's
+# 16 MiB scoped-VMEM limit (CLAUDE.md), single-chunk calls get more headroom.
+_VMEM_MULTI = 11 * 2**20
+_VMEM_SINGLE = 36 * 2**20
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def lane_geometry(n: int, num_problems: int, num_reads: int
+                  ) -> tuple[int, int, int, int]:
+    """(n_pad, Lc, C, fold): padded variable count, lanes per chunk, chunk
+    count, lane-fold factor.
+
+    ``fold`` is the largest of {8, 4, 2, 1} whose J⊗I_fold tile fits the
+    VMEM budget — 8 gives full-sublane sub-step slabs; large problems
+    (n ≳ 500) drop to smaller folds so the Kronecker tile stays resident
+    (at those sizes the per-sweep matmuls dominate anyway, so the partial
+    sublane waste on sub-step ops is secondary).  Returns ``Lc = 0`` when
+    even fold 1 does not fit — callers route elsewhere.  ``Lc`` is a
+    multiple of ``128 * fold`` so the folded width stays lane-aligned.
+    """
+    n_pad = _round_up(max(n, 1), KVARS)
+    L = num_problems * num_reads
+    for fold in (8, 4, 2, 1):
+        j_bytes = 4 * (fold * n_pad) ** 2
+        if j_bytes > _VMEM_MULTI // 2:
+            continue
+        lane_q = 128 * fold  # Lc granularity (lane-tile-aligned folded width)
+        per_lane = 16 * n_pad  # 4 live (fold*n_pad, Lw) f32 arrays per lane
+        lc_single = (_VMEM_SINGLE - j_bytes) // per_lane
+        if _round_up(L, lane_q) <= lc_single:
+            return n_pad, _round_up(L, lane_q), 1, fold
+        Lc = max(((_VMEM_MULTI - 2 * j_bytes) // per_lane) // lane_q * lane_q,
+                 lane_q)
+        return n_pad, Lc, -(-L // Lc), fold
+    return n_pad, 0, 0, 1
+
+
+def _fold_lanes(A, C: int, Lc: int, fold: int):
+    """(..., rows, L_pad) → (C, ..., rows*fold, Lc/fold) in the kernel's
+    row-major fold: chunk c, variable row i, fold k holds lane
+    ``c*Lc + k*(Lc/fold) + w``."""
+    *lead, rows, L_pad = A.shape
+    Lw = Lc // fold
+    A = A.reshape(*lead, rows, C, fold, Lw)
+    A = jnp.moveaxis(A, -3, 0)  # (C, ..., rows, fold, Lw)
+    return A.reshape(C, *lead, rows * fold, Lw)
+
+
+def _unfold_lanes(A, fold: int):
+    """Inverse of :func:`_fold_lanes` for the kernel output:
+    (C, rows*fold, Lw) → (rows, C*Lc)."""
+    C, rf, Lw = A.shape
+    rows = rf // fold
+    A = A.reshape(C, rows, fold, Lw)
+    A = jnp.moveaxis(A, 0, 1)  # (rows, C, fold, Lw)
+    return A.reshape(rows, C * fold * Lw)
+
+
+def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
+                 n: int, num_sweeps: int, rule: str, fold: int,
+                 debug: bool = False):
+    """One (group, lane-chunk) program.
+
+    J_ref (1, 8n_pad, 8n_pad): the group's J⊗I₈ (symmetric couplings, zero
+    diagonal); Jd_ref (1, nb, 64, 64): its per-block diagonal sub-blocks;
+    H_ref (1, 1, 8n_pad, Lw): folded per-lane linear terms (QUBO diagonal +
+    per-problem fields); hot/logr (1, 1, 8, Lw): per-lane geometric beta
+    schedule params; out (1, 1, 8n_pad, Lw) state; thr_ref (8n_pad, Lw)
+    scratch for per-sweep acceptance thresholds.
+    """
+    if debug:
+        init_ref, u_all_ref, out_ref, thr_ref = rest
+    else:
+        out_ref, thr_ref = rest
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    rows = out_ref.shape[2]
+    Lw = out_ref.shape[3]
+    BS = KVARS * fold  # rows per block
+
+    # random {0,1} init on real-variable rows, 0 on padding rows
+    if debug:
+        rand01 = init_ref[0, 0]
+    else:
+        pltpu.prng_seed(seed_ref[0, 0] + g * pl.num_programs(1) + c)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, Lw)), jnp.uint32)
+        rand01 = pltpu.bitcast(bits & 1, jnp.int32).astype(jnp.float32)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (rows, Lw), 0)
+    out_ref[0, 0] = jnp.where(rowid < n * fold, rand01, 0.0)
+
+    inv_span = jnp.float32(1.0 / max(num_sweeps - 1, 1))
+    inv24 = jnp.float32(1.0 / 16777216.0)
+    hot = hot_ref[0, 0]  # (8, Lw)
+    logr = logr_ref[0, 0]
+
+    def sweep_body(t, carry):
+        frac = t.astype(jnp.float32) * inv_span
+        beta = hot * jnp.exp(logr * frac)  # (8, Lw), per-lane schedule
+        # thresholds for the whole sweep: each variable's slab consumes its
+        # own (8, Lw) uniform block (same per-sweep consumption as sa_jax /
+        # gibbs — the CI debug tests lock the streams bit-for-bit)
+        if debug:
+            u = u_all_ref[0, 0, t]
+        else:
+            ub = pltpu.bitcast(pltpu.prng_random_bits((rows, Lw)), jnp.uint32)
+            u = pltpu.bitcast(ub >> 8, jnp.int32).astype(jnp.float32) * inv24
+        beta_full = jnp.broadcast_to(
+            beta[None], (rows // fold, fold, Lw)
+        ).reshape(rows, Lw)
+        if rule == "metropolis":
+            thr_ref[...] = -jnp.log(u) / beta_full
+        else:
+            thr_ref[...] = (jnp.log(1.0 - u) - jnp.log(u)) / beta_full
+
+        def do_block(b, k_here):
+            r0 = pl.multiple_of(b * BS, BS)
+            Jb = J_ref[0, pl.ds(r0, BS), :]  # (BS, 8n_pad)
+            F = jnp.dot(Jb, out_ref[0, 0], preferred_element_type=jnp.float32)
+            F = F + H_ref[0, 0, pl.ds(r0, BS), :]
+            Jd = Jd_ref[0, b]  # (BS, BS)
+            for j in range(k_here):  # static unroll
+                rj = b * BS + j * fold
+                rows8 = pl.ds(pl.multiple_of(rj, 8) if fold == 8 else rj, fold)
+                s_blk = out_ref[0, 0, rows8, :]  # (fold, Lw)
+                f = F[j * fold : (j + 1) * fold, :]
+                thr = thr_ref[rows8, :]
+                if rule == "metropolis":
+                    cdir = 1.0 - 2.0 * s_blk
+                    accept = cdir * f < thr
+                    ds = jnp.where(accept, cdir, 0.0)
+                    out_ref[0, 0, rows8, :] = s_blk + ds
+                else:
+                    new = (f < thr).astype(jnp.float32)
+                    ds = new - s_blk
+                    out_ref[0, 0, rows8, :] = new
+                if j < k_here - 1:
+                    # correct remaining in-block fields: F[fold*j'+k] +=
+                    # J[j', j] * ds[k]  ⟺  F += Jd[:, fold*j : fold*(j+1)] @ ds
+                    F = F + jnp.dot(Jd[:, j * fold : (j + 1) * fold], ds,
+                                    preferred_element_type=jnp.float32)
+
+        nb_full, rem = divmod(n, KVARS)
+
+        def block_body(b, carry):
+            do_block(b, KVARS)
+            return carry
+
+        carry = jax.lax.fori_loop(0, nb_full, block_body, carry)
+        if rem:
+            do_block(nb_full, rem)  # static tail block
+        return carry
+
+    jax.lax.fori_loop(0, num_sweeps, sweep_body, 0)
+
+
+def _kron_fold(J, n_pad: int, fold: int):
+    """(G, n, n) symmetric couplings → (G, fold·n_pad, fold·n_pad) J⊗I_fold."""
+    G, n, _ = J.shape
+    Jp = jnp.pad(J.astype(jnp.float32),
+                 ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+    eye = jnp.eye(fold, dtype=jnp.float32)
+    Jx = jnp.einsum("gij,kl->gikjl", Jp, eye, precision="highest")
+    return Jx.reshape(G, n_pad * fold, n_pad * fold)
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "rule",
+                                   "interpret"))
+def lane_sample_groups(
+    key: jax.Array,
+    Q_shared: jax.Array,
+    h_extra: jax.Array,
+    num_reads: int,
+    num_sweeps: int,
+    rule: str = "metropolis",
+    beta_hot=None,
+    beta_cold=None,
+    interpret: bool = False,
+    debug_randoms=None,
+) -> jax.Array:
+    """Shared-coupling batched annealing: group QUBOs + per-problem fields.
+
+    ``Q_shared`` (G, n, n): per-group dense QUBO (couplings shared by the
+    whole group; its diagonal is the shared part of the linear terms).
+    ``h_extra`` (G, B, n): per-problem additional linear terms — the
+    effective QUBO of problem (g, b) is ``Q_shared[g] + diag(h_extra[g, b])``.
+    Returns (G, B, num_reads, n) samples in {0, 1}.
+
+    ``beta_hot``/``beta_cold`` (G, B) override the per-problem geometric
+    schedule endpoints (defaults follow :func:`qbmx.core.qubo.
+    default_beta_range` on the effective per-problem QUBO — statistically
+    identical schedules to the dense samplers).  ``rule`` is
+    ``"metropolis"`` (SA) or ``"heatbath"`` (BMS); heat-bath callers pass
+    only ``beta_cold`` (the target beta) to get the gibbs_sample_batch
+    warmup ramp ``min(default_hot, beta) → beta``.
+
+    ``debug_randoms`` (CI path): ``(init01, uniforms)`` with shapes
+    (G, B, num_reads, n) and (num_sweeps, G, B, n, num_reads) — replaces
+    the on-chip PRNG so the kernel runs under ``interpret=True`` on CPU
+    and is locked bit-for-bit against the XLA sweeps.
+    """
+    G, n, _ = Q_shared.shape
+    B = h_extra.shape[1]
+    R = num_reads
+    n_pad, Lc, C, fold = lane_geometry(n, B, R)
+    if Lc == 0:
+        raise ValueError(
+            f"lane kernel: coupling tile for n={n} exceeds VMEM; route elsewhere"
+        )
+    L = B * R
+    L_pad = C * Lc
+    Lw = Lc // fold
+
+    hs, J = split_qubo(Q_shared)  # shared diag + symmetric couplings
+    h_all = hs[:, None, :] + h_extra.astype(jnp.float32)  # (G, B, n)
+
+    # per-problem geometric schedule endpoints (match default_beta_range on
+    # the effective dense QUBO: per-var bound |h_i| + Σ_j |J_ij|)
+    if beta_hot is None or beta_cold is None:
+        # default_beta_range on the effective per-problem dense QUBO,
+        # without materializing it (J is shared; only |h| varies)
+        absJ = jnp.sum(jnp.abs(J), axis=-1)  # (G, n)
+        per_var = jnp.abs(h_all) + absJ[:, None, :]  # (G, B, n)
+        max_delta = jnp.max(per_var, axis=-1)
+        hmag = jnp.abs(h_all)
+        h_min = jnp.min(jnp.where(hmag > 0, hmag, jnp.inf), axis=-1)  # (G, B)
+        jmag = jnp.abs(J).reshape(G, -1)
+        j_min = jnp.min(jnp.where(jmag > 0, jmag, jnp.inf), axis=-1)  # (G,)
+        min_delta = jnp.minimum(h_min, j_min[:, None])
+        d_hot = jnp.where(max_delta > 0,
+                          jnp.log(2.0) / jnp.maximum(max_delta, 1e-12), 0.1)
+        d_cold = jnp.where(jnp.isfinite(min_delta),
+                           jnp.log(100.0) / jnp.maximum(min_delta, 1e-12), 10.0)
+        d_cold = jnp.maximum(d_cold, d_hot * 1.0001)
+        if rule == "heatbath" and beta_cold is not None and beta_hot is None:
+            # gibbs semantics: warm up from min(default hot, target beta)
+            beta_hot = jnp.minimum(d_hot, jnp.asarray(beta_cold, jnp.float32))
+        beta_hot = d_hot if beta_hot is None else beta_hot
+        beta_cold = d_cold if beta_cold is None else beta_cold
+    beta_hot = jnp.broadcast_to(jnp.asarray(beta_hot, jnp.float32), (G, B))
+    if num_sweeps == 1:
+        beta_hot = jnp.broadcast_to(jnp.asarray(beta_cold, jnp.float32), (G, B))
+    logr = jnp.log(jnp.asarray(beta_cold, jnp.float32) / beta_hot)
+    logr = jnp.broadcast_to(logr, (G, B))
+
+    def lanes(v, fill):  # (G, B) per-problem → (G, C, fold, Lw) folded rows
+        vl = jnp.repeat(v, R, axis=1)  # (G, L)
+        vl = jnp.pad(vl, ((0, 0), (0, L_pad - L)), constant_values=fill)
+        return jnp.moveaxis(_fold_lanes(vl[:, None, :], C, Lc, fold), 0, 1)
+
+    # folded per-lane linear terms (n_pad rows; padding rows zero)
+    Hl = jnp.repeat(
+        jnp.pad(h_all, ((0, 0), (0, 0), (0, n_pad - n))), R, axis=1
+    )  # (G, L, n_pad)
+    Hl = jnp.swapaxes(Hl, 1, 2)  # (G, n_pad, L)
+    Hl = jnp.pad(Hl, ((0, 0), (0, 0), (0, L_pad - L)))
+    Hf = jnp.moveaxis(_fold_lanes(Hl, C, Lc, fold), 0, 1)  # (G, C, rows, Lw)
+
+    Jx = _kron_fold(J, n_pad, fold)  # (G, fold·n_pad, fold·n_pad)
+    nb = -(-n // KVARS)
+    BS = KVARS * fold
+    Jd = jnp.stack(
+        [Jx[:, b * BS : (b + 1) * BS, b * BS : (b + 1) * BS] for b in range(nb)],
+        axis=1,
+    )  # (G, nb, BS, BS)
+
+    if key.ndim:  # (G,) or (G, B) key arrays: mix like sa_pallas._seed_scalar
+        kd = jax.random.key_data(key.reshape(-1)).astype(jnp.uint32)
+        mixed = kd[..., 0] if kd.shape[-1] == 1 else jnp.bitwise_xor(kd[..., 0], kd[..., -1])
+        pos = jnp.arange(mixed.shape[0], dtype=jnp.uint32) * jnp.uint32(2654435761)
+        s = jnp.bitwise_xor(mixed, pos).sum()
+        seed = (s % jnp.uint32(2**31 - 1)).astype(jnp.int32).reshape(1, 1)
+    else:
+        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+
+    rows = n_pad * fold
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec((1, rows, rows), lambda g, c: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb, BS, BS), lambda g, c: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, Lw), lambda g, c: (g, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, fold, Lw), lambda g, c: (g, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, fold, Lw), lambda g, c: (g, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [seed, Jx, Jd, Hf, lanes(beta_hot, 1.0), lanes(logr, 0.0)]
+
+    debug = debug_randoms is not None
+    if debug:
+        init01, uniforms = debug_randoms
+        # init01 (G, B, R, n) → rows (G, n_pad, L) → folded (G, C, rows, Lw)
+        ini = jnp.swapaxes(init01.astype(jnp.float32).reshape(G, L, n), 1, 2)
+        ini = jnp.pad(ini, ((0, 0), (0, n_pad - n), (0, L_pad - L)))
+        ini_f = jnp.moveaxis(_fold_lanes(ini, C, Lc, fold), 0, 1)
+        # uniforms (S, G, B, n, R) → (G, C, S, rows, Lw)
+        S = uniforms.shape[0]
+        u = jnp.moveaxis(uniforms.astype(jnp.float32), 0, 1)  # (G, S, B, n, R)
+        u = u.reshape(G * S, B, n, R)
+        u = jnp.moveaxis(u, 2, 1).reshape(G * S, n, L)
+        u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, L_pad - L)),
+                    constant_values=0.5)
+        u_f = jnp.moveaxis(_fold_lanes(u, C, Lc, fold), 0, 1)  # (G*S, C, rows, Lw)
+        u_f = jnp.moveaxis(u_f.reshape(G, S, C, rows, Lw), 2, 1)
+        in_specs += [
+            pl.BlockSpec((1, 1, rows, Lw), lambda g, c: (g, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, rows, Lw), lambda g, c: (g, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ini_f, u_f]
+
+    out = pl.pallas_call(
+        partial(_lane_kernel, n=n, num_sweeps=num_sweeps,
+                rule=rule, fold=fold, debug=debug),
+        grid=(G, C),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, rows, Lw), lambda g, c: (g, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, C, rows, Lw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, Lw), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    # (G, C, rows, Lw) → (G, n, L) → (G, B, R, n)
+    res = jax.vmap(lambda o: _unfold_lanes(o, fold))(out)  # (G, n_pad, L_pad)
+    res = res[:, :n, :L]
+    return jnp.swapaxes(res, 1, 2).reshape(G, B, R, n)

@@ -34,14 +34,16 @@ import numpy as np
 
 from qbmx.models.dqbm import (
     DQBMParams,
-    clamped_qubo_batch,
+    clamped_fields,
+    clamped_qubo_shared,
     init_params,
     nll_from_probs,
     output_probs_from_samples,
-    unclamped_qubo_batch,
+    unclamped_fields,
+    unclamped_qubo_shared,
 )
 from qbmx.models.base import pad_rows
-from qbmx.samplers.api import Sampler, get_sampler
+from qbmx.samplers.api import Sampler, get_sampler, sampler_sample_groups
 from qbmx.utils.metrics import History, get_metrics, prob_scored_auc
 
 
@@ -150,24 +152,34 @@ class SeedParallelDQBM:
             B = x.shape[0]
             H = params.b_h.shape[-1]
 
-            Qc = jax.vmap(lambda p: clamped_qubo_batch(p, x, y_vec, beta_eff))(params)
-            Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
-            n_u = Qu.shape[-1]
-            # fuse phases AND seeds into one sampler batch (2·S·B problems)
-            # with PER-PROBLEM keys derived from each problem's own seed
-            # stream (VERDICT r2 #8): with an XLA sampler a seed's noise is
+            Qc_sh = jax.vmap(lambda p: clamped_qubo_shared(p, beta_eff))(params)
+            Qu_sh = jax.vmap(lambda p: unclamped_qubo_shared(p, beta_eff))(params)
+            hc = jax.vmap(lambda p: clamped_fields(p, x, y_vec, beta_eff))(params)
+            hu = jax.vmap(lambda p: unclamped_fields(p, x, beta_eff))(params)
+            n_u = Qu_sh.shape[-1]
+            # fuse phases AND seeds into one sampler call as 2·S shared-
+            # coupling GROUPS of B problems each (couplings are per-seed
+            # params; examples enter as linear terms — sa_lane.py), with
+            # PER-PROBLEM keys derived from each problem's own seed stream
+            # (VERDICT r2 #8): with an XLA sampler a seed's noise is
             # independent of which other seeds share the sweep, so a single
             # seed's trajectory reproduces exactly outside the sweep; the
-            # packed Pallas kernel mixes the keys into its per-pack seed
+            # Pallas kernels mix the keys into per-grid seeds
             # (statistically equivalent, no per-seed stream there —
             # sa_pallas._seed_scalar).
             pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
-            Qc_pad = jnp.zeros((S, B, n_u, n_u), Qc.dtype).at[:, :, :H, :H].set(Qc)
-            Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, n_u, n_u)
-            s_all = sampler.sample_batch(pkeys.reshape(2 * S * B), Q_all, reads)
-            s_all = s_all.reshape(S, 2 * B, reads, n_u)
-            s_c = s_all[:, :B, :, :H]
-            s_u = s_all[:, B:]
+            # group-major order: [all seeds' clamped, all seeds' unclamped]
+            gkeys = jnp.concatenate([pkeys[:, :B], pkeys[:, B:]], axis=0)
+            Qc_pad = jnp.zeros((S, n_u, n_u), Qc_sh.dtype).at[:, :H, :H].set(Qc_sh)
+            Q_all = jnp.concatenate([Qc_pad, Qu_sh], axis=0)  # (2S, n_u, n_u)
+            h_all = jnp.concatenate(
+                [jnp.pad(hc, ((0, 0), (0, 0), (0, n_u - H))), hu], axis=0
+            )  # (2S, B, n_u)
+            s_all = sampler_sample_groups(
+                sampler, gkeys.reshape(2 * S * B), Q_all, h_all, reads
+            )  # (2S, B, reads, n_u)
+            s_c = s_all[:S, :, :, :H]
+            s_u = s_all[S:]
 
             def per_seed(p, sc, su):
                 mc = clamped_moments(sc, x, y_vec)
@@ -197,12 +209,13 @@ class SeedParallelDQBM:
 
         @jax.jit
         def predict(params, x, keys):
-            Qu = jax.vmap(lambda p: unclamped_qubo_batch(p, x, beta_eff))(params)
+            Qu_sh = jax.vmap(lambda p: unclamped_qubo_shared(p, beta_eff))(params)
+            hu = jax.vmap(lambda p: unclamped_fields(p, x, beta_eff))(params)
             B = x.shape[0]
-            n_u = Qu.shape[-1]
             pkeys = jax.vmap(lambda k: jax.random.split(k, B))(keys)
-            s_u = sampler.sample_batch(pkeys.reshape(S * B), Qu.reshape(S * B, n_u, n_u), reads)
-            s_u = s_u.reshape(S, B, reads, n_u)
+            s_u = sampler_sample_groups(
+                sampler, pkeys.reshape(S * B), Qu_sh, hu, reads
+            )  # (S, B, reads, n_u)
             marg = s_u[:, :, :, :n_out].mean(axis=2)  # (S, B, n_out)
             probs = jax.vmap(lambda s: output_probs_from_samples(s, n_out, one_hot))(s_u)
             return marg, probs
@@ -438,22 +451,31 @@ class SeedParallelCDQBM:
                      if m.use_one_hot_encoding else y.astype(jnp.float32)[:, None])
             B = x.shape[0]
             nh, nt = m.geo.n_hidden, m.geo.n_total
-            Qc = jax.vmap(lambda p: jax.vmap(
-                lambda xi, yi: m.clamped_qubo(p, xi, yi))(x, y_vec))(params)
-            Qu = jax.vmap(lambda p: jax.vmap(
-                lambda xi: m.unclamped_qubo(p, xi))(x))(params)
-            # fuse phases AND seeds into one sampler batch (2·S·B problems);
-            # clamped QUBOs zero-padded by n_out dead variables (cdqbm.py
-            # _step_fn does the same for one seed)
-            Qc_pad = jnp.zeros((S, B, nt, nt), Qc.dtype).at[:, :, :nh, :nh].set(Qc)
-            Q_all = jnp.concatenate([Qc_pad, Qu], axis=1).reshape(2 * S * B, nt, nt)
+            Qc_sh = jax.vmap(m.clamped_qubo_shared)(params)  # (S, nh, nh)
+            Qu_sh = jax.vmap(m.unclamped_qubo_shared)(params)  # (S, nt, nt)
+            hc = jax.vmap(lambda p: jax.vmap(
+                lambda xi, yi: m.clamped_fields(p, xi, yi))(x, y_vec))(params)
+            hu = jax.vmap(lambda p: jax.vmap(
+                lambda xi: m.unclamped_fields(p, xi))(x))(params)
+            # fuse phases AND seeds into one sampler call as 2·S shared-
+            # coupling groups (couplings per seed, examples as linear
+            # terms); clamped groups zero-padded by n_out dead variables
+            # (cdqbm.py _step_fn does the same for one seed)
+            Qc_pad = jnp.zeros((S, nt, nt), Qc_sh.dtype).at[:, :nh, :nh].set(Qc_sh)
+            Q_all = jnp.concatenate([Qc_pad, Qu_sh], axis=0)  # (2S, nt, nt)
+            h_all = jnp.concatenate(
+                [jnp.pad(hc, ((0, 0), (0, 0), (0, nt - nh))), hu], axis=0
+            )  # (2S, B, nt)
             # per-problem keys from each seed's own stream (see the DQBM
-            # sweep step; VERDICT r2 #8)
+            # sweep step; VERDICT r2 #8), group-major order
             pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
-            s_all = m.sampler.sample_batch(pkeys.reshape(2 * S * B), Q_all, m.sample_count)
-            s_all = s_all.reshape(S, 2 * B, m.sample_count, nt)
-            s_c = s_all[:, :B, :, :nh]
-            s_u = s_all[:, B:]
+            gkeys = jnp.concatenate([pkeys[:, :B], pkeys[:, B:]], axis=0)
+            s_all = sampler_sample_groups(
+                m.sampler, gkeys.reshape(2 * S * B), Q_all, h_all,
+                m.sample_count,
+            )  # (2S, B, reads, nt)
+            s_c = s_all[:S, :, :, :nh]
+            s_u = s_all[S:]
 
             denom = jnp.maximum(mask.sum(), 1.0)
 
@@ -493,14 +515,14 @@ class SeedParallelCDQBM:
 
         @jax.jit
         def predict(params, x, keys):
-            Qu = jax.vmap(lambda p: jax.vmap(
-                lambda xi: m.unclamped_qubo(p, xi))(x))(params)
-            B, nt = x.shape[0], m.geo.n_total
+            Qu_sh = jax.vmap(m.unclamped_qubo_shared)(params)
+            hu = jax.vmap(lambda p: jax.vmap(
+                lambda xi: m.unclamped_fields(p, xi))(x))(params)
+            B = x.shape[0]
             pkeys = jax.vmap(lambda k: jax.random.split(k, B))(keys)
-            s_u = m.sampler.sample_batch(pkeys.reshape(S * B),
-                                         Qu.reshape(S * B, nt, nt),
-                                         m.sample_count)
-            s_u = s_u.reshape(S, B, m.sample_count, nt)
+            s_u = sampler_sample_groups(
+                m.sampler, pkeys.reshape(S * B), Qu_sh, hu, m.sample_count
+            )  # (S, B, reads, nt)
             return jax.vmap(m._probs_from_samples)(s_u)  # (S, B, C)
 
         return predict

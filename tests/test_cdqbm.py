@@ -178,6 +178,40 @@ class TestQuboAssembly:
         assert np.all(np.diag(Q2)[:4] - np.diag(Q1)[:4] > 4.0)  # 10/beta_eff
 
 
+
+    def test_structured_builders_match_dense(self):
+        """shared + diag(fields) must equal the dense per-example builders
+        EXACTLY for every pooling mode — the contract the sampler group
+        path (sampler_sample_groups / sa_lane) relies on."""
+        rng = np.random.default_rng(9)
+        for pooling, bias, lp in [("deterministic", "shared", False),
+                                  ("probabilistic", "per-unit", False),
+                                  ("probabilistic", "shared", True),
+                                  ("deterministic", "none", False)]:
+            model = CDQBM(
+                image_shape=(6, 6), num_label_nodes=2, seed=3, kernel_size=3,
+                pooling_size=2 if pooling != "none" else 0,
+                pooling_type=pooling, stride=1, sequential_layer_sizes=[3],
+                hidden_bias_type=bias, sample_count=8, beta_eff=2.0,
+                learn_penalty=lp,
+            )
+            p = model.params
+            x = jnp.asarray(rng.uniform(0, 1, (6, 6)).astype("float32"))
+            yv = jnp.asarray([0.0, 1.0], dtype=jnp.float32)
+
+            Qc = model.clamped_qubo(p, x, yv)
+            rc = model.clamped_qubo_shared(p) + jnp.diagflat(
+                model.clamped_fields(p, x, yv))
+            np.testing.assert_allclose(np.asarray(Qc), np.asarray(rc),
+                                       rtol=0, atol=1e-6)
+
+            Qu = model.unclamped_qubo(p, x)
+            ru = model.unclamped_qubo_shared(p) + jnp.diagflat(
+                model.unclamped_fields(p, x))
+            np.testing.assert_allclose(np.asarray(Qu), np.asarray(ru),
+                                       rtol=0, atol=1e-6)
+
+
 class TestTraining:
     @pytest.mark.parametrize("pooling_type", ["deterministic", "probabilistic"])
     def test_step_updates_all_params(self, pooling_type):

@@ -87,6 +87,39 @@ class TestQuboBuilders:
         assert np.allclose(Q - np.diag(np.diag(Q)), 0.0)
 
 
+
+    def test_structured_builders_match_dense(self, rng):
+        """shared + diag(fields) must equal the dense per-example builders
+        EXACTLY — the contract the sampler group path (sa_lane) relies on."""
+        import numpy as np
+        from qbmx.models.dqbm import (
+            clamped_fields,
+            clamped_qubo_batch,
+            clamped_qubo_shared,
+            unclamped_fields,
+            unclamped_qubo_batch,
+            unclamped_qubo_shared,
+        )
+
+        params = small_params(rng, D=5, H=4, O=3)
+        B, beta_eff = 6, 2.5
+        x = jnp.asarray(rng.uniform(0, 1, (B, 5)).astype("float32"))
+        y = jnp.asarray(np.eye(3, dtype="float32")[rng.integers(0, 3, B)])
+
+        Qc = clamped_qubo_batch(params, x, y, beta_eff)
+        Qc_s = clamped_qubo_shared(params, beta_eff)
+        hc = clamped_fields(params, x, y, beta_eff)
+        np.testing.assert_allclose(
+            np.asarray(Qc), np.asarray(Qc_s[None] + jax.vmap(jnp.diagflat)(hc)),
+            rtol=0, atol=1e-6)
+
+        Qu = unclamped_qubo_batch(params, x, beta_eff)
+        Qu_s = unclamped_qubo_shared(params, beta_eff)
+        hu = unclamped_fields(params, x, beta_eff)
+        np.testing.assert_allclose(
+            np.asarray(Qu), np.asarray(Qu_s[None] + jax.vmap(jnp.diagflat)(hu)),
+            rtol=0, atol=1e-6)
+
 class TestMoments:
     def test_clamped_vs_naive(self, rng):
         """Vectorized clamped stats == the reference's correct per-example

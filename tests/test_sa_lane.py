@@ -1,0 +1,197 @@
+"""CI coverage for the lane-stacked shared-coupling kernel (sa_lane).
+
+Same strategy as test_sa_pallas_debug.py: with ``debug_randoms`` the init
+bits and per-sweep uniforms are host inputs, so ``interpret=True`` runs on
+CPU and both update rules are locked bit-for-bit against the XLA sweeps
+(``sa_jax._metropolis_sweep`` / ``gibbs._heat_bath_sweep``) on the DENSE
+per-problem QUBOs the structured (Q_shared, h_extra) call represents.
+Covers single-chunk and multi-chunk (C > 1) grids, tail blocks (n % 8),
+and the per-problem default schedule parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qbmx.samplers.sa_lane as sl
+from qbmx.core.qubo import (
+    default_beta_range,
+    geometric_beta_schedule,
+    random_qubo_batch,
+    split_qubo,
+)
+from qbmx.samplers.gibbs import _heat_bath_sweep
+from qbmx.samplers.sa_jax import _metropolis_sweep
+from qbmx.samplers.sa_lane import lane_geometry, lane_sample_groups
+
+
+def _problem(rng, G, B, n, reads, sweeps):
+    Qg = random_qubo_batch(rng, G, n)
+    h_extra = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    init01 = jnp.asarray((rng.random((G, B, reads, n)) < 0.5).astype(np.float32))
+    uniforms = jnp.asarray(
+        np.clip(rng.random((sweeps, G, B, n, reads)).astype(np.float32),
+                1e-6, 1.0 - 1e-6)
+    )
+    return Qg, h_extra, init01, uniforms
+
+
+def _dense(Qg, h_extra):
+    return Qg[:, None, :, :] + jax.vmap(jax.vmap(jnp.diagflat))(h_extra)
+
+
+def _ref_trajectory(sweep_fn, Qg, h_extra, init01, uniforms, hot, cold, S):
+    """Run the dense XLA sweep per (group, problem) with the kernel's
+    geometric schedule."""
+    G, B = h_extra.shape[:2]
+    out = np.zeros_like(np.asarray(init01))
+    for g in range(G):
+        h_s, J = split_qubo(Qg[g])
+        for b in range(B):
+            h = h_s + h_extra[g, b]
+            betas = geometric_beta_schedule(hot[g, b], cold[g, b], S)
+            s = init01[g, b]
+            for t in range(S):
+                s = sweep_fn(s, uniforms[t, g, b], betas[t], h, J)
+            out[g, b] = np.asarray(s)
+    return out
+
+
+@pytest.mark.parametrize(
+    "G,B,n,reads,sweeps",
+    [
+        (2, 5, 11, 7, 6),   # tail block (11 % 8), single chunk
+        (1, 3, 8, 9, 4),    # exactly one full block
+        (3, 2, 21, 5, 5),   # 3 blocks with tail
+        (1, 1, 3, 1, 3),    # minimal
+    ],
+)
+@pytest.mark.parametrize("rule", ["metropolis", "heatbath"])
+def test_debug_matches_xla_sweeps(rule, G, B, n, reads, sweeps):
+    rng = np.random.default_rng(hash((G, B, n, reads, sweeps)) % 2**32)
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+    hot = jnp.full((G, B), 0.25)
+    cold = jnp.full((G, B), 2.0)
+    out = lane_sample_groups(
+        jax.random.key(0), Qg, h_extra, reads, sweeps, rule=rule,
+        beta_hot=hot, beta_cold=cold, interpret=True,
+        debug_randoms=(init01, uniforms),
+    )
+    sweep = _metropolis_sweep if rule == "metropolis" else _heat_bath_sweep
+    ref = _ref_trajectory(sweep, Qg, h_extra, init01, uniforms, hot, cold, sweeps)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_multi_chunk_grid_matches(monkeypatch):
+    """C > 1 lane chunks must produce the identical trajectories (chunking
+    is pure layout)."""
+    rng = np.random.default_rng(7)
+    G, B, n, reads, sweeps = 1, 3, 9, 700, 4
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+
+    def tiny_chunks(n_, num_problems, num_reads):
+        n_pad = ((n_ + 7) // 8) * 8
+        L = num_problems * num_reads
+        return n_pad, 1024, -(-L // 1024), 8
+
+    hot = jnp.full((G, B), 0.3)
+    cold = jnp.full((G, B), 1.0)
+    args = dict(rule="heatbath", beta_hot=hot, beta_cold=cold,
+                interpret=True, debug_randoms=(init01, uniforms))
+    one = lane_sample_groups(jax.random.key(0), Qg, h_extra, reads, sweeps, **args)
+    monkeypatch.setattr(sl, "lane_geometry", tiny_chunks)
+    lane_sample_groups.clear_cache()  # same shapes → would hit the C=1 trace
+    many = lane_sample_groups(jax.random.key(0), Qg, h_extra, reads, sweeps, **args)
+    assert sl.lane_geometry(n, B, reads)[2] > 1
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
+    monkeypatch.undo()
+    lane_sample_groups.clear_cache()
+
+
+def test_default_schedule_matches_dense():
+    """The structured default beta range must equal default_beta_range on
+    the densified per-problem QUBOs (same trajectories as the dense path)."""
+    rng = np.random.default_rng(11)
+    G, B, n, reads, sweeps = 2, 4, 10, 6, 5
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+    out = lane_sample_groups(
+        jax.random.key(0), Qg, h_extra, reads, sweeps, rule="metropolis",
+        interpret=True, debug_randoms=(init01, uniforms),
+    )
+    Qd = _dense(Qg, h_extra)
+    hot, cold = default_beta_range(Qd.reshape(G * B, n, n))
+    ref = _ref_trajectory(_metropolis_sweep, Qg, h_extra, init01, uniforms,
+                          hot.reshape(G, B), cold.reshape(G, B), sweeps)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_lane_geometry_limits():
+    n_pad, Lc, C, fold = lane_geometry(41, 600, 100)
+    assert n_pad == 48 and fold == 8
+    assert Lc % (128 * fold) == 0 and C * Lc >= 600 * 100
+    # truly huge problems → declined even at fold 1
+    _, Lc_big, _, _ = lane_geometry(6000, 8, 100)
+    assert Lc_big == 0
+    # big-n shapes that the packed kernel serializes fit at a smaller fold
+    n_pad, Lc, C, fold = lane_geometry(717, 200, 100)
+    assert Lc > 0 and C >= 1 and fold < 8
+    # the fold-1 path is exercised in CI too (debug test below)
+
+
+@pytest.mark.parametrize("fold", [1, 2, 4])
+def test_small_fold_matches(monkeypatch, fold):
+    """Sub-8 folds (large-n routing) are pure layout: same trajectories."""
+    rng = np.random.default_rng(100 + fold)
+    G, B, n, reads, sweeps = 1, 2, 13, 40, 4
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+
+    def forced(n_, num_problems, num_reads):
+        n_pad = ((n_ + 7) // 8) * 8
+        L = num_problems * num_reads
+        q = 128 * fold
+        Lc = ((L + q - 1) // q) * q
+        return n_pad, Lc, 1, fold
+
+    hot = jnp.full((G, B), 0.3)
+    cold = jnp.full((G, B), 1.0)
+    args = dict(rule="heatbath", beta_hot=hot, beta_cold=cold,
+                interpret=True, debug_randoms=(init01, uniforms))
+    base = lane_sample_groups(jax.random.key(0), Qg, h_extra, reads, sweeps, **args)
+    monkeypatch.setattr(sl, "lane_geometry", forced)
+    lane_sample_groups.clear_cache()
+    out = lane_sample_groups(jax.random.key(0), Qg, h_extra, reads, sweeps, **args)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    monkeypatch.undo()
+    lane_sample_groups.clear_cache()
+
+
+def test_sample_groups_fallback_matches_dense():
+    """Off-TPU, sample_groups must be EXACTLY the dense sample_batch on the
+    densified problems (same key stream), for samplers with and without a
+    structured fast path."""
+    from qbmx.samplers.api import (
+        ExactSampler,
+        GibbsSampler,
+        densify_groups,
+        sampler_sample_groups,
+    )
+
+    rng = np.random.default_rng(5)
+    G, B, n, R = 2, 3, 6, 64
+    Qg = random_qubo_batch(rng, G, n)
+    h_extra = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    Qd = densify_groups(Qg, h_extra)
+    np.testing.assert_allclose(
+        np.asarray(Qd.reshape(G, B, n, n)),
+        np.asarray(_dense(Qg, h_extra)), rtol=1e-6)
+
+    key = jax.random.key(3)
+    for sampler in [GibbsSampler(num_warmup=8), ExactSampler()]:
+        grp = sampler_sample_groups(sampler, key, Qg, h_extra, R)
+        assert grp.shape == (G, B, R, n)
+        flat = sampler.sample_batch(key, Qd, R)
+        np.testing.assert_array_equal(
+            np.asarray(grp), np.asarray(flat.reshape(G, B, R, n)))

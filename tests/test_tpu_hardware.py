@@ -172,3 +172,64 @@ def test_debug_and_prng_gibbs_agree_statistically():
         jax.random.key(0), Q, reads, warmup, beta=1.0,
         debug_randoms=(init01, uniforms)))[0]
     assert np.abs(s_hw.mean(axis=0) - s_dbg.mean(axis=0)).max() < 0.06
+
+
+def test_lane_kernel_marginals_match_oracle():
+    """Lane-stacked shared-J kernel (both rules) vs exact Boltzmann at the
+    target beta on its on-chip PRNG path."""
+    from qbmx.core.qubo import random_qubo_batch
+    from qbmx.samplers.api import densify_groups
+    from qbmx.samplers.sa_lane import lane_sample_groups
+
+    rng = np.random.default_rng(3)
+    G, B, n, reads, warm = 2, 6, 6, 2048, 64
+    Qg = random_qubo_batch(rng, G, n)
+    h = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    Qd = np.asarray(densify_groups(Qg, h)).reshape(G, B, n, n)
+    s = lane_sample_groups(jax.random.key(5), Qg, h, reads, warm,
+                           rule="heatbath",
+                           beta_cold=jnp.full((G, B), 1.0))
+    gaps = []
+    for g in range(G):
+        for b in range(B):
+            m = _oracle_marginals(jnp.asarray(Qd[g, b]), 1.0)
+            gaps.append(float(np.abs(np.asarray(s[g, b]).mean(axis=0) - m).mean()))
+    assert float(np.mean(gaps)) < 0.03, gaps
+
+
+def test_lane_kernel_small_folds_on_chip():
+    """fold < 8 (large-n routing) on real hardware: same statistics."""
+    import qbmx.samplers.sa_lane as sl
+    from qbmx.core.qubo import random_qubo_batch
+    from qbmx.samplers.api import densify_groups
+    from qbmx.samplers.sa_lane import lane_sample_groups
+
+    rng = np.random.default_rng(4)
+    B, n, reads, warm = 6, 9, 2048, 64
+    Qg = random_qubo_batch(rng, 1, n)
+    h = jnp.asarray(rng.normal(size=(1, B, n)).astype(np.float32))
+    Qd = np.asarray(densify_groups(Qg, h)).reshape(B, n, n)
+    orig = sl.lane_geometry
+    try:
+        for fold in (1, 2):
+            def forced(n_, P_, R_, fold=fold):
+                n_pad = ((n_ + 7) // 8) * 8
+                L = P_ * R_
+                q = 128 * fold
+                Lc = min(((L + q - 1) // q) * q, 2048 * fold)
+                return n_pad, Lc, -(-L // Lc), fold
+
+            sl.lane_geometry = forced
+            lane_sample_groups.clear_cache()
+            s = lane_sample_groups(jax.random.key(5), Qg, h, reads, warm,
+                                   rule="heatbath",
+                                   beta_cold=jnp.full((1, B), 1.0))[0]
+            gaps = [
+                float(np.abs(np.asarray(s[b]).mean(axis=0)
+                             - _oracle_marginals(jnp.asarray(Qd[b]), 1.0)).mean())
+                for b in range(B)
+            ]
+            assert float(np.mean(gaps)) < 0.03, (fold, gaps)
+    finally:
+        sl.lane_geometry = orig
+        lane_sample_groups.clear_cache()
