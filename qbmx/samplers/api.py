@@ -106,21 +106,29 @@ def sampler_sample_groups(sampler, key, Q_shared, h_extra, num_reads):
     return flat.reshape(G, B, num_reads, n)
 
 
-def _lane_preferred(n: int, num_problems: int, num_reads: int) -> bool:
+def _lane_preferred(n: int, num_problems: int, num_reads: int,
+                    groups: int = 1) -> bool:
     """Measured lane-vs-packed routing (v5e, scripts/probe_lane_kernel.py;
-    PERFORMANCE.md §1): the lane kernel wins every few-reads shape (its
-    chunk count stays far below the packed grid's program count — e.g.
-    B=600 n=41 R=100: 8.4 vs 19.2 ms; B=1200 n=6 R=128: 9.9 vs 49.2 ms;
-    B=60 n=41 R=100: 4.0 vs 13.9 ms vs the best dense alternative) and
-    every single-chunk shape (B=120 n=6 R=1000).  Many-reads multi-chunk
-    shapes stay with the packed kernel (+pair updates): B=1200 n=6 R=1000:
-    49.2 vs 86 ms; B=2160 n=9 R=1000: 18.9 vs 25.1 ms."""
+    PERFORMANCE.md §1).  The lane kernel wins every few-reads shape — its
+    sequential program count stays far below the packed grid's (B=600 n=41
+    R=100: 8.4 vs 19.2 ms; B=1200 n=6 R=128: 9.9 vs 49.2 ms; B=60 n=41
+    R=100: 4.0 vs 13.9 ms vs the best dense alternative; n=717 B=200:
+    222 vs 944 ms).  At many reads a lane program costs ~3-4× a packed
+    program per sweep (huge per-chunk lane slabs: B=120 n=6 R=1000 is a
+    tie at 1 lane vs 4 packed programs; C=5 vs 13 and C=14 vs 38 both
+    lose), so lane is kept only while its TOTAL program count (groups ×
+    per-group chunks) stays under a third of the packed grid's."""
     from qbmx.samplers.sa_lane import lane_geometry
+    from qbmx.samplers.sa_pallas import pack_geometry
 
     _, Lc, C, _ = lane_geometry(n, num_problems, num_reads)
     if Lc == 0:
         return False
-    return num_reads <= 256 or C == 1
+    if num_reads <= 256:
+        return True
+    total = groups * num_problems
+    _, P, _ = pack_geometry(n, batch=total, reads=num_reads)
+    return 3 * groups * C <= -(-total // P)
 
 
 def _auto_route_packed(Q, num_reads: int, use_pallas: bool | None) -> bool:
@@ -164,10 +172,7 @@ class SASampler:
         """Structured shared-coupling path (see sampler_sample_groups):
         lane kernel on TPU when the shape fits, dense fallback otherwise."""
         G, B = h_extra.shape[:2]
-        # routing probes the PER-GROUP chunk count (the kernel grid is
-        # (groups, chunks-per-group); a single-chunk group costs one
-        # sequential program regardless of G)
-        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads):
+        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads, G):
             from qbmx.samplers import sa_lane
 
             return sa_lane.lane_sample_groups(
@@ -190,10 +195,11 @@ class SASampler:
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
 
-    def _lane_enabled(self, n: int, B: int, num_reads: int) -> bool:
+    def _lane_enabled(self, n: int, B: int, num_reads: int,
+                      groups: int = 1) -> bool:
         if self.use_pallas is False or not _on_tpu():
             return False
-        return _lane_preferred(n, B, num_reads)
+        return _lane_preferred(n, B, num_reads, groups)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,10 +237,7 @@ class GibbsSampler:
     def sample_groups(self, key, Q_shared, h_extra, num_reads):
         """Structured shared-coupling path (see sampler_sample_groups)."""
         G, B = h_extra.shape[:2]
-        # routing probes the PER-GROUP chunk count (the kernel grid is
-        # (groups, chunks-per-group); a single-chunk group costs one
-        # sequential program regardless of G)
-        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads):
+        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads, G):
             from qbmx.samplers import sa_lane
 
             return sa_lane.lane_sample_groups(
@@ -242,6 +245,7 @@ class GibbsSampler:
                 rule="heatbath",
                 beta_cold=jnp.full(h_extra.shape[:2], self.beta,
                                    dtype=jnp.float32),
+                pair=self.pair_updates is not False,
             )
         keys = key.reshape(-1) if key.ndim else key
         flat = self.sample_batch(keys, densify_groups(Q_shared, h_extra),
@@ -257,10 +261,11 @@ class GibbsSampler:
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
 
-    def _lane_enabled(self, n: int, B: int, num_reads: int) -> bool:
+    def _lane_enabled(self, n: int, B: int, num_reads: int,
+                      groups: int = 1) -> bool:
         if self.use_pallas is False or not _on_tpu():
             return False
-        return _lane_preferred(n, B, num_reads)
+        return _lane_preferred(n, B, num_reads, groups)
 
 
 @dataclasses.dataclass(frozen=True)

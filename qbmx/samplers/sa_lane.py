@@ -121,7 +121,7 @@ def _unfold_lanes(A, fold: int):
 
 def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
                  n: int, num_sweeps: int, rule: str, fold: int,
-                 debug: bool = False):
+                 pair: bool = False, debug: bool = False):
     """One (group, lane-chunk) program.
 
     J_ref (1, 8n_pad, 8n_pad): the group's J⊗I₈ (symmetric couplings, zero
@@ -129,8 +129,10 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
     H_ref (1, 1, 8n_pad, Lw): folded per-lane linear terms (QUBO diagonal +
     per-problem fields); hot/logr (1, 1, 8, Lw): per-lane geometric beta
     schedule params; out (1, 1, 8n_pad, Lw) state; thr_ref (8n_pad, Lw)
-    scratch for per-sweep acceptance thresholds.
+    scratch for per-sweep acceptance thresholds (raw uniforms when
+    ``pair`` — the 4-state categorical needs them).
     """
+    assert not (pair and rule != "heatbath"), "pair updates: heat-bath only"
     if debug:
         init_ref, u_all_ref, out_ref, thr_ref = rest
     else:
@@ -167,13 +169,19 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
         else:
             ub = pltpu.bitcast(pltpu.prng_random_bits((rows, Lw)), jnp.uint32)
             u = pltpu.bitcast(ub >> 8, jnp.int32).astype(jnp.float32) * inv24
-        beta_full = jnp.broadcast_to(
-            beta[None], (rows // fold, fold, Lw)
-        ).reshape(rows, Lw)
-        if rule == "metropolis":
-            thr_ref[...] = -jnp.log(u) / beta_full
+        if pair:
+            thr_ref[...] = u  # pair sub-steps need the raw uniforms
         else:
-            thr_ref[...] = (jnp.log(1.0 - u) - jnp.log(u)) / beta_full
+            beta_full = jnp.broadcast_to(
+                beta[None], (rows // fold, fold, Lw)
+            ).reshape(rows, Lw)
+            if rule == "metropolis":
+                thr_ref[...] = -jnp.log(u) / beta_full
+            else:
+                thr_ref[...] = (jnp.log(1.0 - u) - jnp.log(u)) / beta_full
+
+        def rows_at(rj):
+            return pl.ds(pl.multiple_of(rj, 8) if fold == 8 else rj, fold)
 
         def do_block(b, k_here):
             r0 = pl.multiple_of(b * BS, BS)
@@ -181,9 +189,62 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
             F = jnp.dot(Jb, out_ref[0, 0], preferred_element_type=jnp.float32)
             F = F + H_ref[0, 0, pl.ds(r0, BS), :]
             Jd = Jd_ref[0, b]  # (BS, BS)
+
+            if pair:
+                # joint pair-Gibbs: consecutive variable pairs resampled
+                # from their exact 4-state conditional — HALF the
+                # sequential sub-steps (semantics = gibbs.
+                # _pair_heat_bath_sweep, CI-locked; measured 1.17–3.4× on
+                # the packed kernel where the sub-step chain is the floor).
+                # Blocks start at even variable indices (KVARS = 8), so
+                # global pairs never straddle blocks.
+                npairs, tail = divmod(k_here, 2)
+                for q in range(npairs):  # static unroll
+                    j1 = 2 * q * fold
+                    r1, r2 = rows_at(r0 + j1), rows_at(r0 + j1 + fold)
+                    s1 = out_ref[0, 0, r1, :]
+                    s2 = out_ref[0, 0, r2, :]
+                    f1 = F[j1 : j1 + fold, :]
+                    f2 = F[j1 + fold : j1 + 2 * fold, :]
+                    # shared-J pair coupling: Jd's cross block is c·I_fold
+                    cpl = jnp.sum(Jd[j1 : j1 + fold, j1 + fold : j1 + 2 * fold],
+                                  axis=1, keepdims=True)  # (fold, 1) = c
+                    f1p = f1 - cpl * s2  # fields excluding the partner
+                    f2p = f2 - cpl * s1
+                    e01 = -beta * f2p
+                    e10 = -beta * f1p
+                    e11 = -beta * (f1p + f2p + cpl)
+                    m = jnp.maximum(jnp.maximum(e01, e10),
+                                    jnp.maximum(e11, 0.0))
+                    w00 = jnp.exp(-m)
+                    w01 = jnp.exp(e01 - m)
+                    w10 = jnp.exp(e10 - m)
+                    w11 = jnp.exp(e11 - m)
+                    tt = thr_ref[r1, :] * (w00 + w01 + w10 + w11)
+                    cum2 = w00 + w01
+                    cum3 = cum2 + w10
+                    new1 = (tt >= cum2).astype(jnp.float32)
+                    new2 = (((tt >= w00) & (tt < cum2)) | (tt >= cum3)
+                            ).astype(jnp.float32)
+                    out_ref[0, 0, r1, :] = new1
+                    out_ref[0, 0, r2, :] = new2
+                    if 2 * (q + 1) < k_here:
+                        ds2 = jnp.concatenate([new1 - s1, new2 - s2], axis=0)
+                        F = F + jnp.dot(Jd[:, j1 : j1 + 2 * fold], ds2,
+                                        preferred_element_type=jnp.float32)
+                if tail:  # odd trailing variable: single heat-bath draw
+                    j1 = 2 * npairs * fold
+                    rr = rows_at(r0 + j1)
+                    f = F[j1 : j1 + fold, :]
+                    # u < σ(-βf) ⟺ u·(1+exp(βf)) < 1 (inf-safe)
+                    w = jnp.exp(beta * f)
+                    out_ref[0, 0, rr, :] = (
+                        thr_ref[rr, :] * (1.0 + w) < 1.0
+                    ).astype(jnp.float32)
+                return
+
             for j in range(k_here):  # static unroll
-                rj = b * BS + j * fold
-                rows8 = pl.ds(pl.multiple_of(rj, 8) if fold == 8 else rj, fold)
+                rows8 = rows_at(b * BS + j * fold)
                 s_blk = out_ref[0, 0, rows8, :]  # (fold, Lw)
                 f = F[j * fold : (j + 1) * fold, :]
                 thr = thr_ref[rows8, :]
@@ -227,7 +288,7 @@ def _kron_fold(J, n_pad: int, fold: int):
 
 
 @partial(jax.jit, static_argnames=("num_reads", "num_sweeps", "rule",
-                                   "interpret"))
+                                   "pair", "interpret"))
 def lane_sample_groups(
     key: jax.Array,
     Q_shared: jax.Array,
@@ -237,6 +298,7 @@ def lane_sample_groups(
     rule: str = "metropolis",
     beta_hot=None,
     beta_cold=None,
+    pair: bool = False,
     interpret: bool = False,
     debug_randoms=None,
 ) -> jax.Array:
@@ -378,7 +440,7 @@ def lane_sample_groups(
 
     out = pl.pallas_call(
         partial(_lane_kernel, n=n, num_sweeps=num_sweeps,
-                rule=rule, fold=fold, debug=debug),
+                rule=rule, fold=fold, pair=pair, debug=debug),
         grid=(G, C),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, Lw), lambda g, c: (g, c, 0, 0),

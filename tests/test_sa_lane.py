@@ -195,3 +195,23 @@ def test_sample_groups_fallback_matches_dense():
         flat = sampler.sample_batch(key, Qd, R)
         np.testing.assert_array_equal(
             np.asarray(grp), np.asarray(flat.reshape(G, B, R, n)))
+
+
+@pytest.mark.parametrize("G,B,n,reads,sweeps", [(2, 3, 11, 7, 5), (1, 2, 8, 9, 4)])
+def test_pair_debug_matches_xla_pair_sweep(G, B, n, reads, sweeps):
+    """Lane pair-Gibbs vs gibbs._pair_heat_bath_sweep, bit-for-bit (same
+    uniform consumption: pair (i, i+1) draws from u[i])."""
+    from qbmx.samplers.gibbs import _pair_heat_bath_sweep
+
+    rng = np.random.default_rng(42 + n)
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+    hot = jnp.full((G, B), 0.25)
+    cold = jnp.full((G, B), 2.0)
+    out = lane_sample_groups(
+        jax.random.key(0), Qg, h_extra, reads, sweeps, rule="heatbath",
+        beta_hot=hot, beta_cold=cold, pair=True, interpret=True,
+        debug_randoms=(init01, uniforms),
+    )
+    ref = _ref_trajectory(_pair_heat_bath_sweep, Qg, h_extra, init01,
+                          uniforms, hot, cold, sweeps)
+    np.testing.assert_array_equal(np.asarray(out), ref)
