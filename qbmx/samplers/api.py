@@ -124,11 +124,40 @@ def _lane_preferred(n: int, num_problems: int, num_reads: int,
     _, Lc, C, _ = lane_geometry(n, num_problems, num_reads)
     if Lc == 0:
         return False
-    if num_reads <= 256:
-        return True
     total = groups * num_problems
     _, P, _ = pack_geometry(n, batch=total, reads=num_reads)
-    return 3 * groups * C <= -(-total // P)
+    packed_programs = -(-total // P)
+    if num_reads <= 256:
+        # guard the unmeasured degenerate corner (n_pad near the fold-1
+        # VMEM limit collapses Lc toward its 128-lane floor and the chunk
+        # count balloons): at equal slab sizes a lane program is no cheaper
+        # than a packed one, so decline once lane needs 2× the programs.
+        return groups * C <= 2 * packed_programs
+    return 3 * groups * C <= packed_programs
+
+
+def _lane_enabled(sampler, n: int, B: int, num_reads: int,
+                  groups: int = 1) -> bool:
+    """Lane-route predicate shared by SASampler/GibbsSampler: respects the
+    sampler's ``use_pallas`` override, requires a TPU, then applies the
+    measured routing rule."""
+    if sampler.use_pallas is False or not _on_tpu():
+        return False
+    return _lane_preferred(n, B, num_reads, groups)
+
+
+def _sample_groups(sampler, key, Q_shared, h_extra, num_reads, lane_fn):
+    """Shared lane-vs-densify body for SA/Gibbs ``sample_groups`` (ONE copy
+    of the fallback so key handling / routing cannot drift between the two
+    samplers).  ``lane_fn(key, Q_shared, h_extra)`` runs the rule-specific
+    lane kernel call."""
+    G, B = h_extra.shape[:2]
+    if _lane_enabled(sampler, int(Q_shared.shape[-1]), B, num_reads, G):
+        return lane_fn(key, Q_shared, h_extra)
+    keys = key.reshape(-1) if key.ndim else key
+    flat = sampler.sample_batch(keys, densify_groups(Q_shared, h_extra),
+                                num_reads)
+    return flat.reshape(G, B, num_reads, int(Q_shared.shape[-1]))
 
 
 def _auto_route_packed(Q, num_reads: int, use_pallas: bool | None) -> bool:
@@ -171,35 +200,23 @@ class SASampler:
     def sample_groups(self, key, Q_shared, h_extra, num_reads):
         """Structured shared-coupling path (see sampler_sample_groups):
         lane kernel on TPU when the shape fits, dense fallback otherwise."""
-        G, B = h_extra.shape[:2]
-        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads, G):
-            from qbmx.samplers import sa_lane
+        from qbmx.samplers import sa_lane
 
-            return sa_lane.lane_sample_groups(
-                key, Q_shared, h_extra, num_reads, self.num_sweeps,
-                rule="metropolis",
-            )
-        keys = key.reshape(-1) if key.ndim else key
-        flat = self.sample_batch(keys, densify_groups(Q_shared, h_extra),
-                                 num_reads)
-        return flat.reshape(Q_shared.shape[0], B, num_reads,
-                            Q_shared.shape[-1])
+        return _sample_groups(
+            self, key, Q_shared, h_extra, num_reads,
+            lambda k, Q, h: sa_lane.lane_sample_groups(
+                k, Q, h, num_reads, self.num_sweeps, rule="metropolis"),
+        )
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         """lax.scan-compatible iff not routed to the Pallas kernel (axon
         AOT hang).  Probed with shape metadata only — no device alloc."""
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
         return not (self._pallas_enabled(probe, num_reads)
-                    or self._lane_enabled(n, 1, num_reads))
+                    or _lane_enabled(self, n, 1, num_reads))
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
-
-    def _lane_enabled(self, n: int, B: int, num_reads: int,
-                      groups: int = 1) -> bool:
-        if self.use_pallas is False or not _on_tpu():
-            return False
-        return _lane_preferred(n, B, num_reads, groups)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,36 +253,23 @@ class GibbsSampler:
 
     def sample_groups(self, key, Q_shared, h_extra, num_reads):
         """Structured shared-coupling path (see sampler_sample_groups)."""
-        G, B = h_extra.shape[:2]
-        if self._lane_enabled(int(Q_shared.shape[-1]), B, num_reads, G):
-            from qbmx.samplers import sa_lane
+        from qbmx.samplers import sa_lane
 
-            return sa_lane.lane_sample_groups(
-                key, Q_shared, h_extra, num_reads, self.num_warmup,
-                rule="heatbath",
-                beta_cold=jnp.full(h_extra.shape[:2], self.beta,
-                                   dtype=jnp.float32),
-                pair=self.pair_updates is not False,
-            )
-        keys = key.reshape(-1) if key.ndim else key
-        flat = self.sample_batch(keys, densify_groups(Q_shared, h_extra),
-                                 num_reads)
-        return flat.reshape(Q_shared.shape[0], B, num_reads,
-                            Q_shared.shape[-1])
+        return _sample_groups(
+            self, key, Q_shared, h_extra, num_reads,
+            lambda k, Q, h: sa_lane.lane_sample_groups(
+                k, Q, h, num_reads, self.num_warmup, rule="heatbath",
+                beta_cold=jnp.full(h.shape[:2], self.beta, dtype=jnp.float32),
+                pair=self.pair_updates is not False),
+        )
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
         return not (self._pallas_enabled(probe, num_reads)
-                    or self._lane_enabled(n, 1, num_reads))
+                    or _lane_enabled(self, n, 1, num_reads))
 
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         return _auto_route_packed(Q, num_reads, self.use_pallas)
-
-    def _lane_enabled(self, n: int, B: int, num_reads: int,
-                      groups: int = 1) -> bool:
-        if self.use_pallas is False or not _on_tpu():
-            return False
-        return _lane_preferred(n, B, num_reads, groups)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -197,13 +197,33 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
                 # _pair_heat_bath_sweep, CI-locked; measured 1.17–3.4× on
                 # the packed kernel where the sub-step chain is the floor).
                 # Blocks start at even variable indices (KVARS = 8), so
-                # global pairs never straddle blocks.
+                # global pairs never straddle blocks.  At fold = 8 each
+                # pair slab is an 8-aligned sublane ref (fast path,
+                # measured); at fold < 8 per-pair refs sit at odd
+                # multiples of fold, which Mosaic cannot prove 8-aligned
+                # (compile error observed at fold=2), so there the whole
+                # BS-row block is loaded/stored ONCE and rows are sliced
+                # as VALUES (r0 is a multiple of BS = 8·fold ≥ 8; the
+                # block variant measured ~1.5× slower at fold=8 — the
+                # final concat — hence the split).
+                aligned = fold == 8
+                if not aligned:
+                    r_blk = pl.ds(pl.multiple_of(r0, 8), BS)
+                    s_all = out_ref[0, 0, r_blk, :]  # (BS, Lw)
+                    u_blk = thr_ref[r_blk, :]  # raw uniforms this sweep
                 npairs, tail = divmod(k_here, 2)
+                parts = []
                 for q in range(npairs):  # static unroll
                     j1 = 2 * q * fold
-                    r1, r2 = rows_at(r0 + j1), rows_at(r0 + j1 + fold)
-                    s1 = out_ref[0, 0, r1, :]
-                    s2 = out_ref[0, 0, r2, :]
+                    if aligned:
+                        r1, r2 = rows_at(r0 + j1), rows_at(r0 + j1 + fold)
+                        s1 = out_ref[0, 0, r1, :]
+                        s2 = out_ref[0, 0, r2, :]
+                        u1 = thr_ref[r1, :]
+                    else:
+                        s1 = s_all[j1 : j1 + fold, :]
+                        s2 = s_all[j1 + fold : j1 + 2 * fold, :]
+                        u1 = u_blk[j1 : j1 + fold, :]
                     f1 = F[j1 : j1 + fold, :]
                     f2 = F[j1 + fold : j1 + 2 * fold, :]
                     # shared-J pair coupling: Jd's cross block is c·I_fold
@@ -220,27 +240,42 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
                     w01 = jnp.exp(e01 - m)
                     w10 = jnp.exp(e10 - m)
                     w11 = jnp.exp(e11 - m)
-                    tt = thr_ref[r1, :] * (w00 + w01 + w10 + w11)
+                    tt = u1 * (w00 + w01 + w10 + w11)
                     cum2 = w00 + w01
                     cum3 = cum2 + w10
                     new1 = (tt >= cum2).astype(jnp.float32)
                     new2 = (((tt >= w00) & (tt < cum2)) | (tt >= cum3)
                             ).astype(jnp.float32)
-                    out_ref[0, 0, r1, :] = new1
-                    out_ref[0, 0, r2, :] = new2
+                    if aligned:
+                        out_ref[0, 0, r1, :] = new1
+                        out_ref[0, 0, r2, :] = new2
+                    else:
+                        parts += [new1, new2]
                     if 2 * (q + 1) < k_here:
                         ds2 = jnp.concatenate([new1 - s1, new2 - s2], axis=0)
                         F = F + jnp.dot(Jd[:, j1 : j1 + 2 * fold], ds2,
                                         preferred_element_type=jnp.float32)
                 if tail:  # odd trailing variable: single heat-bath draw
                     j1 = 2 * npairs * fold
-                    rr = rows_at(r0 + j1)
                     f = F[j1 : j1 + fold, :]
                     # u < σ(-βf) ⟺ u·(1+exp(βf)) < 1 (inf-safe)
                     w = jnp.exp(beta * f)
-                    out_ref[0, 0, rr, :] = (
-                        thr_ref[rr, :] * (1.0 + w) < 1.0
-                    ).astype(jnp.float32)
+                    if aligned:
+                        rr = rows_at(r0 + j1)
+                        out_ref[0, 0, rr, :] = (
+                            thr_ref[rr, :] * (1.0 + w) < 1.0
+                        ).astype(jnp.float32)
+                    else:
+                        parts.append((u_blk[j1 : j1 + fold, :] * (1.0 + w)
+                                      < 1.0).astype(jnp.float32))
+                if not aligned:
+                    used = (2 * npairs + (1 if tail else 0)) * fold
+                    if used < BS:  # untouched rows of the tail block
+                        parts.append(s_all[used:, :])
+                    out_ref[0, 0, r_blk, :] = (
+                        jnp.concatenate(parts, axis=0) if len(parts) > 1
+                        else parts[0]
+                    )
                 return
 
             for j in range(k_here):  # static unroll

@@ -8,10 +8,11 @@ independently-initialized models train simultaneously by
 
   * ``vmap``-ing the pure QUBO builders over the stacked parameter axis
     ((S, B, n, n) QUBOs per phase), and
-  * folding the seed axis into the SAMPLER's problem batch — one
-    ``sample_batch`` call over 2·S·B packed problems per step, which the
-    Pallas kernel's pack router already scales to (more packs, same
-    per-program shape).
+  * folding the seed axis into the SAMPLER's batch — one
+    ``sampler_sample_groups`` call over 2·S shared-coupling groups of B
+    problems per step (per-seed couplings + per-example linear terms),
+    which routes to the lane or packed kernel by the measured rules in
+    ``qbmx.samplers.api._lane_preferred``.
 
 One epoch of all S models = one unrolled jitted launch; per-seed
 validation prediction is one more.  Against sequentially-launched seeds
@@ -396,10 +397,10 @@ class SeedParallelCDQBM:
     A single donor :class:`~qbmx.models.cdqbm.CDQBM` supplies the static
     geometry, flags, and pure per-example builders; the parameter pytree is
     stacked over seeds (each seed's init stream identical to constructing
-    ``CDQBM(seed=s)``), the clamped/unclamped QUBO builds vmap over
-    (seed × example), and the seed axis folds into the SAMPLER's problem
-    batch — one ``sample_batch`` call over 2·S·B packed n_total-variable
-    problems per step.  Epochs launch as unrolled jitted segments exactly
+    ``CDQBM(seed=s)``), the structured QUBO builds vmap over
+    (seed × example), and the seed axis folds into the SAMPLER's batch —
+    one ``sampler_sample_groups`` call over 2·S shared-coupling groups of
+    B problems per step.  Epochs launch as unrolled jitted segments exactly
     like the donor's ``EpochLaunchMixin`` path (pallas-in-scan hangs the
     axon AOT compiler).
     """

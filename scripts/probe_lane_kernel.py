@@ -11,16 +11,18 @@ of the same problems, at the shapes that drive routing:
   * B=1200 n=6  R=1000 — many-reads (packed-routed, P=32)
   * B=2160 n=9  R=1000 — BMS search sweep shape (packed-routed)
   * B=60   n=41 R=100  — CDQBM stack shape (packed-routed, P=64)
-  * B=200  n=717 R=100 — CDQBM probabilistic-pooling shape (packed P=1
-                          grid of 200 sequential programs; pass --big to
-                          also time the packed kernel there — its first
-                          call is a compile storm, CLAUDE.md)
+  * B=200  n=717 R=100 — CDQBM probabilistic-pooling shape: --big times
+                          the lane kernel there; add --bigpacked to ALSO
+                          time the packed kernel at that shape (its first
+                          call is a 200-program compile storm that can
+                          crash the axon worker — CLAUDE.md — so it is
+                          opt-in separately)
 
 Timing protocol per CLAUDE.md: queued bursts drained by ONE scalar fetch,
 warm-up call excluded, run EXCLUSIVELY (no other TPU process).  Also
 validates the on-chip PRNG path statistically against the exact oracle.
 
-    python scripts/probe_lane_kernel.py [--big] [--sa]
+    python scripts/probe_lane_kernel.py [--big] [--bigpacked] [--sa]
 """
 
 from __future__ import annotations

@@ -135,10 +135,37 @@ def bench_bms_pt(shapes=((120, 3), (40, 7)), reads=1000, sweeps=1000):
         print(line)
 
 
+def validate_lane(G=2, B=8, n=6, reads=1024, warmup=64):
+    """Lane-stacked shared-coupling kernel (both rules, pair on/off) vs the
+    exact oracle on its on-chip PRNG path (CI covers the update math via
+    host variates; this is the hardware statistics check, like the packed
+    kernels above).  scripts/probe_lane_kernel.py is the latency A/B."""
+    from qbmx.samplers.api import densify_groups
+    from qbmx.samplers.sa_lane import lane_sample_groups
+
+    rng = np.random.default_rng(9)
+    Qg = random_qubo_batch(rng, G, n)
+    h = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    Qd = np.asarray(densify_groups(Qg, h)).reshape(G, B, n, n)
+    for pair in (False, True):
+        s = lane_sample_groups(jax.random.key(5), Qg, h, reads, warmup,
+                               rule="heatbath", pair=pair,
+                               beta_cold=jnp.full((G, B), 1.0))
+        gaps = []
+        for g in range(G):
+            for b in range(B):
+                m = np.asarray(exact_boltzmann(jnp.asarray(Qd[g, b]), beta=1.0)[2])
+                gaps.append(np.abs(np.asarray(s[g, b]).mean(axis=0) - m).mean())
+        print(f"lane heatbath pair={pair}: mean |marginal gap| "
+              f"{float(np.mean(gaps)):.4f} (bar 0.03)")
+        assert float(np.mean(gaps)) < 0.03
+
+
 if __name__ == "__main__":
     assert jax.devices()[0].platform == "tpu", "run on TPU hardware"
     validate()
     validate_heatbath()
     validate_pt()
+    validate_lane()
     bench()
     bench_bms_pt()

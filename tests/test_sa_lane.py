@@ -215,3 +215,36 @@ def test_pair_debug_matches_xla_pair_sweep(G, B, n, reads, sweeps):
     ref = _ref_trajectory(_pair_heat_bath_sweep, Qg, h_extra, init01,
                           uniforms, hot, cold, sweeps)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("fold", [1, 2, 4])
+def test_pair_small_fold_matches_xla_pair_sweep(monkeypatch, fold):
+    """Pair-Gibbs at sub-8 folds (the large-n routing that ships pair by
+    default) locked bit-for-bit against the XLA pair sweep."""
+    from qbmx.samplers.gibbs import _pair_heat_bath_sweep
+
+    rng = np.random.default_rng(200 + fold)
+    G, B, n, reads, sweeps = 1, 2, 13, 40, 4
+    Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
+
+    def forced(n_, num_problems, num_reads):
+        n_pad = ((n_ + 7) // 8) * 8
+        L = num_problems * num_reads
+        q = 128 * fold
+        Lc = ((L + q - 1) // q) * q
+        return n_pad, Lc, 1, fold
+
+    hot = jnp.full((G, B), 0.3)
+    cold = jnp.full((G, B), 1.0)
+    monkeypatch.setattr(sl, "lane_geometry", forced)
+    lane_sample_groups.clear_cache()
+    out = lane_sample_groups(
+        jax.random.key(0), Qg, h_extra, reads, sweeps, rule="heatbath",
+        beta_hot=hot, beta_cold=cold, pair=True, interpret=True,
+        debug_randoms=(init01, uniforms),
+    )
+    ref = _ref_trajectory(_pair_heat_bath_sweep, Qg, h_extra, init01,
+                          uniforms, hot, cold, sweeps)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    monkeypatch.undo()
+    lane_sample_groups.clear_cache()

@@ -197,8 +197,11 @@ def test_lane_kernel_marginals_match_oracle():
     assert float(np.mean(gaps)) < 0.03, gaps
 
 
-def test_lane_kernel_small_folds_on_chip():
-    """fold < 8 (large-n routing) on real hardware: same statistics."""
+@pytest.mark.parametrize("pair", [False, True])
+def test_lane_kernel_small_folds_on_chip(pair):
+    """fold < 8 (large-n routing) on real hardware, single and pair
+    updates (pair ships by DEFAULT on the heat-bath lane route, including
+    fold<8 shapes like the n=717 CDQBM one): same statistics."""
     import qbmx.samplers.sa_lane as sl
     from qbmx.core.qubo import random_qubo_batch
     from qbmx.samplers.api import densify_groups
@@ -211,7 +214,7 @@ def test_lane_kernel_small_folds_on_chip():
     Qd = np.asarray(densify_groups(Qg, h)).reshape(B, n, n)
     orig = sl.lane_geometry
     try:
-        for fold in (1, 2):
+        for fold in (1, 2, 4):
             def forced(n_, P_, R_, fold=fold):
                 n_pad = ((n_ + 7) // 8) * 8
                 L = P_ * R_
@@ -222,7 +225,7 @@ def test_lane_kernel_small_folds_on_chip():
             sl.lane_geometry = forced
             lane_sample_groups.clear_cache()
             s = lane_sample_groups(jax.random.key(5), Qg, h, reads, warm,
-                                   rule="heatbath",
+                                   rule="heatbath", pair=pair,
                                    beta_cold=jnp.full((1, B), 1.0))[0]
             gaps = [
                 float(np.abs(np.asarray(s[b]).mean(axis=0)
