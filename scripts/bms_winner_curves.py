@@ -44,7 +44,11 @@ def main():
 
     (train_X, train_y), _, (test_X, test_y) = load_dataset("breastmnist", seed=0)
     train_X, test_X, _ = loaders.preprocess_images(train_X, test_X, None)
-    seeds = (list(DEFAULT_SEEDS) + EXTRA_SEEDS)[: args.seeds]
+    # seed pool extends deterministically past the search's 30 (same
+    # first-30 prefix, so larger pools strictly extend the selection)
+    pool = list(DEFAULT_SEEDS) + EXTRA_SEEDS
+    pool += [1009 + 29 * i for i in range(max(args.seeds - len(pool), 0))]
+    seeds = pool[: args.seeds]
 
     t0 = time.time()
     sweep = SeedParallelDQBM(
