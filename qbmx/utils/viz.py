@@ -106,3 +106,46 @@ def plot_pack_layout(n: int, batch: int | None = None, reads: int | None = None,
     if save_path:
         fig.savefig(save_path, bbox_inches="tight", dpi=120)
     return fig
+
+
+def plot_lane_layout(n: int, num_problems: int, num_reads: int,
+                     save_path: str | None = None):
+    """Visualize the lane kernel's geometry decision for a shared-coupling
+    shape (companion to :func:`plot_pack_layout` for the round-3 lane
+    kernel, ``qbmx.samplers.sa_lane.lane_geometry``): the folded state
+    tile (fold·n_pad rows × Lw lanes) with each variable's row slab
+    colored, plus the chunk count and the J⊗I_fold VMEM footprint.
+
+    Returns the figure (None geometry → raises like the kernel would).
+    """
+    from qbmx.samplers.sa_lane import KVARS, lane_geometry
+
+    n_pad, Lc, C, fold = lane_geometry(n, num_problems, num_reads)
+    if Lc == 0:
+        raise ValueError(f"lane kernel declines n={n} (J tile beyond VMEM)")
+    rows = n_pad * fold
+    Lw = Lc // fold
+    img = np.full((rows, min(Lw, 512)), np.nan)
+    for i in range(n_pad):
+        val = i if i < n else np.nan  # padding variables stay grey
+        img[i * fold : (i + 1) * fold, :] = val
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    cmap = plt.get_cmap("tab20", max(n, 1))
+    cmap.set_bad("#eeeeee")
+    ax.imshow(np.ma.masked_invalid(img), cmap=cmap, interpolation="nearest",
+              aspect="auto")
+    j_mb = 4 * (fold * n_pad) ** 2 / 2**20
+    state_mb = 4 * rows * Lw / 2**20
+    ax.set_title(
+        f"lane_geometry(n={n}, B={num_problems}, R={num_reads}):\n"
+        f"fold {fold} → {rows}×{Lw} state tile per chunk, {C} chunk"
+        f"{'s' if C != 1 else ''} (Lc={Lc} lanes), blocks of {KVARS} vars, "
+        f"J⊗I{fold} {j_mb:.1f} MB + state {state_mb:.1f} MB VMEM",
+        fontsize=10,
+    )
+    ax.set_xlabel(f"folded lane (Lw={Lw}; showing ≤512)")
+    ax.set_ylabel("state row (variable-major, fold-minor)")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+    return fig

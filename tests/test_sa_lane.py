@@ -248,3 +248,14 @@ def test_pair_small_fold_matches_xla_pair_sweep(monkeypatch, fold):
     np.testing.assert_array_equal(np.asarray(out), ref)
     monkeypatch.undo()
     lane_sample_groups.clear_cache()
+
+
+def test_lane_layout_viz(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from qbmx.utils.viz import plot_lane_layout
+
+    fig = plot_lane_layout(41, 600, 100, save_path=str(tmp_path / "lane.png"))
+    assert fig is not None and (tmp_path / "lane.png").exists()
+    assert plot_lane_layout(717, 200, 100) is not None  # fold-1 geometry
