@@ -278,7 +278,11 @@ class PTSampler:
     better mixing than one-way annealing on frustrated landscapes.  On TPU
     the ladders ride the packed kernel (rungs as pack slots, in-kernel
     exchange) whenever ``num_replicas`` is a power of two dividing the pack
-    geometry; otherwise the XLA path runs."""
+    geometry; otherwise the XLA path runs.  There is deliberately no lane
+    (shared-coupling) variant: the rung-exchange machinery lives in the
+    packed kernel, and PT workloads are many-reads shapes where the packed
+    route wins anyway (PERFORMANCE.md §1) — structured ``sample_groups``
+    calls reach PT through the densify fallback."""
 
     num_sweeps: int = 64
     num_replicas: int = 8

@@ -259,3 +259,25 @@ def test_lane_layout_viz(tmp_path):
     fig = plot_lane_layout(41, 600, 100, save_path=str(tmp_path / "lane.png"))
     assert fig is not None and (tmp_path / "lane.png").exists()
     assert plot_lane_layout(717, 200, 100) is not None  # fold-1 geometry
+
+
+def test_lane_routing_rules():
+    """Pin the measured lane-vs-packed routing decisions (PERFORMANCE.md §1;
+    the rule is hardware-measured — these assertions keep refactors from
+    silently flipping a routed shape)."""
+    from qbmx.samplers.api import _lane_preferred
+
+    # few-reads shapes: lane wins (2.3–5× measured)
+    assert _lane_preferred(41, 600, 100)
+    assert _lane_preferred(6, 1200, 128)
+    assert _lane_preferred(41, 60, 100)
+    assert _lane_preferred(717, 200, 100)  # fold-1 big-n shape (4.3×)
+    # many-reads multi-chunk: packed+pair keeps the edge
+    assert not _lane_preferred(6, 1200, 1000)
+    assert not _lane_preferred(9, 2160, 1000)
+    # many-reads single-chunk with a tiny program count: lane (tie or better)
+    assert _lane_preferred(6, 120, 1000)
+    # seed-parallel grouping at many reads: 20 lane programs vs 13 packed
+    assert not _lane_preferred(6, 20, 1000, groups=20)
+    # beyond the VMEM ceiling even at fold 1
+    assert not _lane_preferred(6000, 8, 100)
