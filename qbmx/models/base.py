@@ -83,9 +83,10 @@ class EpochLaunchMixin:
     """Whole-epoch device launches for models with a jitted ``_step``.
 
     An epoch dispatches as ONE computation (lax.scan over batches) when the
-    sampler tolerates scan, or as unrolled segments of
-    ``EPOCH_UNROLL_SEGMENT`` jitted steps otherwise (a pallas_call inside
-    lax.scan hangs the axon AOT compiler — CLAUDE.md).  Either way the
+    sampler's routed path tolerates scan — pure XLA and the LANE kernel do;
+    the PACKED kernel hangs the axon AOT compiler inside scan (CLAUDE.md) —
+    or as unrolled segments of ``EPOCH_UNROLL_SEGMENT`` jitted steps
+    otherwise.  Either way the
     per-batch tunnel roundtrips of the reference-style loop disappear, and
     the padded+batched dataset stays resident on device across epochs
     (re-uploading it each epoch costs more than the epoch's compute).
@@ -142,12 +143,24 @@ class EpochLaunchMixin:
             self._cache_store("_predict_data", (X,), None, x)
         return x
 
-    def supports_epoch_scan(self) -> bool:
-        """lax.scan over batches — declined by the sampler itself when it
-        routes to the Pallas kernel (axon AOT hang) or cannot be traced at
-        all (capability flags in qbmx.samplers.api)."""
-        from qbmx.samplers.api import sampler_scan_safe
+    def supports_epoch_scan(self, batch_size: int | None = None) -> bool:
+        """lax.scan over batches — declined by the sampler itself when the
+        routed execution path cannot live inside scan (the PACKED Pallas
+        kernel hangs the axon AOT compiler; the LANE kernel and XLA paths
+        scan fine) or cannot be traced at all (capability flags in
+        qbmx.samplers.api).  With ``batch_size`` the decision uses the
+        EXACT structured-call shapes the training step makes (2 phase
+        groups × batch problems), which is what determines the route."""
+        from qbmx.samplers.api import (
+            sampler_scan_safe,
+            sampler_scan_safe_groups,
+        )
 
+        if batch_size is not None:
+            return sampler_scan_safe_groups(
+                self.sampler, self._qubo_n(), int(batch_size),
+                self.sample_count, groups=2,
+            )
         return sampler_scan_safe(self.sampler, self._qubo_n(), self.sample_count)
 
     def supports_whole_epoch_jit(self) -> bool:
@@ -221,7 +234,7 @@ class EpochLaunchMixin:
             maskb = jnp.asarray(mask.reshape(nb, batch_size))
             self._cache_store("_epoch_data", (x, y), batch_size, (xb, yb, maskb, nb))
 
-        if self.supports_epoch_scan():
+        if self.supports_epoch_scan(batch_size):
             if not hasattr(self, "_epoch_scan_fn"):
                 self._epoch_scan_fn = self._build_epoch_scan()
             self.key, k = jax.random.split(self.key)

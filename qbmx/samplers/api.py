@@ -58,6 +58,30 @@ def sampler_scan_safe(sampler, n: int, num_reads: int) -> bool:
     return bool(scan_safe(n, num_reads)) if scan_safe is not None else True
 
 
+def sampler_scan_safe_groups(sampler, n: int, num_problems: int,
+                             num_reads: int, groups: int = 2) -> bool:
+    """Can a ``sampler_sample_groups`` call with these EXACT shapes live
+    inside ``lax.scan``?
+
+    The packed kernel hangs the axon AOT compiler under scan (CLAUDE.md),
+    but the LANE kernel compiles, persists in the compilation cache, and
+    runs — measured: a 40-step scanned epoch at the CDQBM sweep shape runs
+    8.5× faster than the statically-unrolled program (0.23 s vs 1.97 s)
+    and a fresh process loads it from the cache in 2.9 s, where the
+    unrolled program re-pays ~45 s of tracing/lowering per process
+    (PERFORMANCE.md §2).  True iff the routed path for the exact shapes is
+    the lane kernel or a pure-XLA fallback — callers therefore pass the
+    REAL training shapes, not probes (a B=1 probe could route lane while
+    the real batch routes packed, which would hang)."""
+    if not sampler_jit_safe(sampler):
+        return False
+    fn = getattr(sampler, "scan_safe_groups", None)
+    if fn is not None:
+        return bool(fn(n, num_problems, num_reads, groups))
+    scan_safe = getattr(sampler, "scan_safe", None)
+    return bool(scan_safe(n, num_reads)) if scan_safe is not None else True
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -208,6 +232,18 @@ class SASampler:
                 k, Q, h, num_reads, self.num_sweeps, rule="metropolis"),
         )
 
+
+    def scan_safe_groups(self, n: int, num_problems: int, num_reads: int,
+                         groups: int = 2) -> bool:
+        """Exact-shape scan-safety for the structured group call: the lane
+        kernel is scan-safe (measured — sampler_scan_safe_groups), the
+        packed kernel is not (axon AOT hang), pure XLA is."""
+        if _lane_enabled(self, n, num_problems, num_reads, groups):
+            return True
+        probe = jax.ShapeDtypeStruct((groups * num_problems, n, n),
+                                     jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
+
     def scan_safe(self, n: int, num_reads: int) -> bool:
         """lax.scan-compatible iff not routed to the Pallas kernel (axon
         AOT hang).  Probed with shape metadata only — no device alloc."""
@@ -262,6 +298,18 @@ class GibbsSampler:
                 beta_cold=jnp.full(h.shape[:2], self.beta, dtype=jnp.float32),
                 pair=self.pair_updates is not False),
         )
+
+
+    def scan_safe_groups(self, n: int, num_problems: int, num_reads: int,
+                         groups: int = 2) -> bool:
+        """Exact-shape scan-safety for the structured group call: the lane
+        kernel is scan-safe (measured — sampler_scan_safe_groups), the
+        packed kernel is not (axon AOT hang), pure XLA is."""
+        if _lane_enabled(self, n, num_problems, num_reads, groups):
+            return True
+        probe = jax.ShapeDtypeStruct((groups * num_problems, n, n),
+                                     jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)

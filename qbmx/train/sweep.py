@@ -223,9 +223,6 @@ class SeedParallelDQBM:
 
         return predict
 
-    def _build_epoch(self, nb: int):
-        return _unrolled_epoch(self._step, nb)
-
     def reinit_seeds(self, indices: Sequence[int], attempt: int = 1) -> None:
         """Re-draw listed seeds' parameters and key streams from fresh
         folds of their seed keys — see ``SeedParallelCDQBM.reinit_seeds``
@@ -260,19 +257,15 @@ class SeedParallelDQBM:
 
         histories = [History() for _ in range(self.S)]
         attempts = [0] * self.S  # per-seed re-init counters
-        K = self.epoch_segment
+        from qbmx.samplers.api import sampler_scan_safe_groups
+
+        n_u = self.n_output_nodes + self.params.b_h.shape[-1]
+        scan_ok = sampler_scan_safe_groups(
+            self.sampler, n_u, batch_size, self.sample_count,
+            groups=2 * self.S)
         for epoch_i in range(1, epochs + 1):
-            nll_parts = []
-            for s0 in range(0, nb, K):
-                seg = min(K, nb - s0)
-                if seg not in self._epoch_cache:
-                    self._epoch_cache[seg] = self._build_epoch(seg)
-                self.params, self.keys, nlls = self._epoch_cache[seg](
-                    self.params, xb[s0 : s0 + seg], yb[s0 : s0 + seg],
-                    maskb[s0 : s0 + seg], learning_rate, self.keys,
-                )
-                nll_parts.append(np.asarray(nlls))
-            nlls = np.concatenate(nll_parts, axis=1)  # (S, nb)
+            nlls = _launch_epoch(self, xb, yb, maskb, nb, learning_rate,
+                                 self.epoch_segment, scan_ok)  # (S, nb)
             for s in range(self.S):
                 histories[s].nll_per_batch.extend(float(v) for v in nlls[s])
                 histories[s].nll_per_epoch.append(float(nlls[s].sum()) / nb)
@@ -354,6 +347,57 @@ def _seed_streams(seeds: Sequence[int], init_fn, attempt: int = 0):
         keys = jnp.stack(run_keys)
     dev = jax.devices()[0]
     return jax.device_put(params, dev), jax.device_put(keys, dev)
+
+
+def _scan_epoch(step):
+    """lax.scan twin of :func:`_unrolled_epoch` — IDENTICAL key consumption
+    per step, so the two produce the same trajectories.  Used when the
+    structured sampler call is scan-safe (lane kernel / pure XLA —
+    ``sampler_scan_safe_groups``): one small program instead of an
+    nb-times-unrolled one (measured: 0.23 s vs 1.97 s per 40-batch epoch
+    on TPU, and ~45 s of per-process tracing/lowering avoided —
+    PERFORMANCE.md §2)."""
+
+    @jax.jit
+    def epoch(params, xb, yb, maskb, lr, keys):
+        def body(carry, batch):
+            params, keys = carry
+            x, y, m = batch
+            ks = jax.vmap(jax.random.split)(keys)  # (S, 2)
+            keys, sub = ks[:, 0], ks[:, 1]
+            params, nll = step(params, x, y, m, lr, sub)
+            return (params, keys), nll
+
+        (params, keys), nlls = jax.lax.scan(body, (params, keys),
+                                            (xb, yb, maskb))
+        return params, keys, jnp.swapaxes(nlls, 0, 1)  # (S, nb)
+
+    return epoch
+
+
+def _launch_epoch(sw, xb, yb, maskb, nb, lr, segment, scan_ok):
+    """One training epoch over ``nb`` padded batches: a single scanned
+    program when ``scan_ok`` (decided from the EXACT structured-call
+    shapes), else unrolled jitted segments (the packed kernel hangs the
+    axon AOT compiler inside lax.scan — CLAUDE.md).  Mutates ``sw.params``
+    / ``sw.keys``; returns the (S, nb) per-batch nll array."""
+    if scan_ok:
+        key_ = "scan"
+        if key_ not in sw._epoch_cache:
+            sw._epoch_cache[key_] = _scan_epoch(sw._step)
+        sw.params, sw.keys, nlls = sw._epoch_cache[key_](
+            sw.params, xb, yb, maskb, lr, sw.keys)
+        return np.asarray(nlls)
+    parts = []
+    for s0 in range(0, nb, segment):
+        seg = min(segment, nb - s0)
+        if seg not in sw._epoch_cache:
+            sw._epoch_cache[seg] = _unrolled_epoch(sw._step, seg)
+        sw.params, sw.keys, nlls = sw._epoch_cache[seg](
+            sw.params, xb[s0 : s0 + seg], yb[s0 : s0 + seg],
+            maskb[s0 : s0 + seg], lr, sw.keys)
+        parts.append(np.asarray(nlls))
+    return np.concatenate(parts, axis=1)
 
 
 def _unrolled_epoch(step, nb: int):
@@ -528,9 +572,6 @@ class SeedParallelCDQBM:
 
         return predict
 
-    def _build_epoch(self, nb: int):
-        return _unrolled_epoch(self._step, nb)
-
     def reinit_seeds(self, indices: Sequence[int], attempt: int = 1) -> None:
         """Re-draw listed seeds' parameters and key streams from fresh
         folds of their seed keys (``fold_in(key(seed), attempt)``) —
@@ -576,18 +617,14 @@ class SeedParallelCDQBM:
 
         histories = [History() for _ in range(self.S)]
         attempts = [0] * self.S  # per-seed re-init counters
+        from qbmx.samplers.api import sampler_scan_safe_groups
+
+        scan_ok = sampler_scan_safe_groups(
+            m.sampler, m.geo.n_total, batch_size, m.sample_count,
+            groups=2 * self.S)
         for epoch_i in range(1, epochs + 1):
-            nll_parts = []
-            for s0 in range(0, nb, epoch_segment):
-                seg = min(epoch_segment, nb - s0)
-                if seg not in self._epoch_cache:
-                    self._epoch_cache[seg] = self._build_epoch(seg)
-                self.params, self.keys, nlls = self._epoch_cache[seg](
-                    self.params, xb[s0 : s0 + seg], yb[s0 : s0 + seg],
-                    maskb[s0 : s0 + seg], learning_rate, self.keys,
-                )
-                nll_parts.append(np.asarray(nlls))
-            nlls = np.concatenate(nll_parts, axis=1)  # (S, nb)
+            nlls = _launch_epoch(self, xb, yb, maskb, nb, learning_rate,
+                                 epoch_segment, scan_ok)  # (S, nb)
             for s in range(self.S):
                 histories[s].nll_per_batch.extend(float(v) for v in nlls[s])
                 histories[s].nll_per_epoch.append(float(nlls[s].sum()) / nb)

@@ -352,7 +352,8 @@ class TestUnrolledEpoch:
 
     def test_unrolled_segments_cover_epoch(self, monkeypatch):
         m = self._model()
-        monkeypatch.setattr(DiscQBM, "supports_epoch_scan", lambda self: False)
+        monkeypatch.setattr(DiscQBM, "supports_epoch_scan",
+                            lambda self, batch_size=None: False)
         monkeypatch.setattr(DiscQBM, "EPOCH_UNROLL_SEGMENT", 2)
         rng = np.random.default_rng(0)
         x = rng.uniform(0, 1, (13, 4)).astype("float32")  # nb=4 (ragged tail)
@@ -363,7 +364,8 @@ class TestUnrolledEpoch:
         assert set(m._epoch_unrolled) == {2}  # 2+2 segments, one compile
 
     def test_unrolled_is_deterministic_per_seed(self, monkeypatch):
-        monkeypatch.setattr(DiscQBM, "supports_epoch_scan", lambda self: False)
+        monkeypatch.setattr(DiscQBM, "supports_epoch_scan",
+                            lambda self, batch_size=None: False)
         rng = np.random.default_rng(1)
         x = rng.uniform(0, 1, (8, 4)).astype("float32")
         y = (rng.uniform(size=8) < 0.5).astype("float32")
@@ -378,7 +380,8 @@ class TestUnrolledEpoch:
         from qbmx.train.loop import train_model
 
         m = self._model()
-        monkeypatch.setattr(DiscQBM, "supports_epoch_scan", lambda self: False)
+        monkeypatch.setattr(DiscQBM, "supports_epoch_scan",
+                            lambda self, batch_size=None: False)
         calls = {"n": 0}
         orig = DiscQBM.train_epoch
 

@@ -391,3 +391,37 @@ def test_reinit_repeats_with_fresh_attempts(rng):
     other.reinit_seeds([0], attempt=2)
     assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in
                zip(jax.tree.leaves(sweep.params), jax.tree.leaves(other.params)))
+
+
+def test_scan_epoch_matches_unrolled_exactly():
+    """_scan_epoch is the lax.scan twin of _unrolled_epoch (identical key
+    consumption): same params, keys, and data must produce bit-identical
+    parameters and nlls — the contract that lets TPU lane-routed sweeps
+    switch to the scanned whole-epoch program."""
+    import jax
+    import jax.numpy as jnp
+
+    from qbmx.train.sweep import (
+        SeedParallelDQBM,
+        _pad_to_batches,
+        _scan_epoch,
+        _unrolled_epoch,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(0, 1, (24, 6)).astype("float32")
+    Y = rng.integers(0, 2, 24)
+    sw = SeedParallelDQBM([1, 2, 3], dim_input=6, n_hidden_nodes=3,
+                          sample_count=16, anneal_steps=8, solver="SA-JAX")
+    xb, yb, maskb, nb = _pad_to_batches(X, Y, 8)
+    xb, yb, maskb = jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(maskb)
+
+    p1, k1, n1 = _unrolled_epoch(sw._step, nb)(
+        sw.params, xb, yb, maskb, 0.05, sw.keys)
+    p2, k2, n2 = _scan_epoch(sw._step)(
+        sw.params, xb, yb, maskb, 0.05, sw.keys)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k1)), np.asarray(jax.random.key_data(k2)))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
