@@ -49,9 +49,12 @@ def sampler_jit_safe(sampler) -> bool:
 def sampler_scan_safe(sampler, n: int, num_reads: int) -> bool:
     """Capability flag: can ``sample_batch`` live inside ``lax.scan``?
 
-    Implies jit-safety.  SASampler declines when it would route to the
-    Pallas kernel (a pallas_call inside lax.scan hangs the axon AOT
-    compiler — CLAUDE.md); other samplers default to their jit-safety."""
+    Implies jit-safety.  SASampler declines when it would route to a
+    Pallas kernel (the PACKED kernel inside lax.scan hangs the axon AOT
+    compiler — CLAUDE.md; this B=1 metadata probe cannot prove the real
+    batch routes to the scan-safe LANE kernel, so it stays conservative —
+    exact-shape callers use sampler_scan_safe_groups); other samplers
+    default to their jit-safety."""
     if not sampler_jit_safe(sampler):
         return False
     scan_safe = getattr(sampler, "scan_safe", None)

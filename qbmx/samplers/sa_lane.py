@@ -39,8 +39,10 @@ exactly (same threshold forms, same per-sweep uniform consumption); the
 CI debug path feeds host-supplied variates under ``interpret=True`` and
 locks them bit-for-bit.
 
-Like every pallas_call, this kernel must NOT be placed inside lax.scan
-(axon AOT hang — CLAUDE.md); samplers route epoch launches accordingly.
+Unlike the packed kernel, this kernel IS safe inside ``lax.scan`` on the
+axon toolchain (measured: scanned epochs compile, persist in the
+compilation cache, and run — PERFORMANCE.md §2); epoch launches exploit
+that via ``sampler_scan_safe_groups``.
 """
 
 from __future__ import annotations

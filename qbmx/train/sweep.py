@@ -401,8 +401,9 @@ def _launch_epoch(sw, xb, yb, maskb, nb, lr, segment, scan_ok):
 
 
 def _unrolled_epoch(step, nb: int):
-    """Jitted epoch of ``nb`` statically-unrolled step calls (pallas-in-
-    scan hangs the axon AOT compiler) with per-seed key streams."""
+    """Jitted epoch of ``nb`` statically-unrolled step calls (the PACKED
+    kernel hangs the axon AOT compiler inside lax.scan; lane/XLA routes
+    use :func:`_scan_epoch` instead) with per-seed key streams."""
 
     @jax.jit
     def epoch(params, xb, yb, maskb, lr, keys):
