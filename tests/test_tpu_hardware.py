@@ -236,3 +236,29 @@ def test_lane_kernel_small_folds_on_chip(pair):
     finally:
         sl.lane_geometry = orig
         lane_sample_groups.clear_cache()
+
+
+def test_lane_kernel_sa_rule_marginals_match_oracle():
+    """Lane kernel, METROPOLIS rule (the SA sample_groups route models use
+    for training at few-reads shapes) vs exact Boltzmann at the cold beta
+    on its on-chip PRNG path — same bar as the packed SA test above."""
+    from qbmx.core.qubo import default_beta_range, random_qubo_batch
+    from qbmx.samplers.api import densify_groups
+    from qbmx.samplers.sa_lane import lane_sample_groups
+
+    rng = np.random.default_rng(6)
+    G, B, n, reads, sweeps = 2, 6, 6, 512, 500
+    Qg = random_qubo_batch(rng, G, n)
+    h = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    Qd = np.asarray(densify_groups(Qg, h)).reshape(G, B, n, n)
+    s = lane_sample_groups(jax.random.key(9), Qg, h, reads, sweeps,
+                           rule="metropolis")
+    gaps = []
+    for g in range(G):
+        for b in range(B):
+            _, cold = default_beta_range(jnp.asarray(Qd[g, b]))
+            m = _oracle_marginals(jnp.asarray(Qd[g, b]), float(cold))
+            gaps.append(float(np.abs(np.asarray(s[g, b]).mean(axis=0) - m).max()))
+    # annealed-to-cold marginals concentrate near the ground state; allow
+    # the same spread the packed SA test allows
+    assert float(np.mean(gaps)) < 0.08, gaps
