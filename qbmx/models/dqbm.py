@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-from functools import partial
 from pathlib import Path
 from typing import Any
 
