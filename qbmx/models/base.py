@@ -101,6 +101,11 @@ class EpochLaunchMixin:
     def _qubo_n(self) -> int:  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def _sampler_call_groups(self) -> int:
+        """Hook: how many shared-coupling GROUPS the training step's
+        structured sampler call carries (2 = clamped+unclamped phases)."""
+        return 2
+
     def _prepare_inputs(self, x: np.ndarray) -> np.ndarray:
         """Hook: reshape host inputs to the step's expected layout."""
         return x
@@ -149,8 +154,12 @@ class EpochLaunchMixin:
         kernel hangs the axon AOT compiler; the LANE kernel and XLA paths
         scan fine) or cannot be traced at all (capability flags in
         qbmx.samplers.api).  With ``batch_size`` the decision uses the
-        EXACT structured-call shapes the training step makes (2 phase
-        groups × batch problems), which is what determines the route."""
+        EXACT structured-call shapes the training step makes — group count
+        from ``_sampler_call_groups()`` (2 phase groups normally; 1 when a
+        model's step samples only one phase, e.g. the DQBM linear
+        shortcut) × batch problems — which is what determines the route
+        (a mismatched probe could select scan while the real call routes
+        to the packed kernel, which hangs inside scan)."""
         from qbmx.samplers.api import (
             sampler_scan_safe,
             sampler_scan_safe_groups,
@@ -159,7 +168,7 @@ class EpochLaunchMixin:
         if batch_size is not None:
             return sampler_scan_safe_groups(
                 self.sampler, self._qubo_n(), int(batch_size),
-                self.sample_count, groups=2,
+                self.sample_count, groups=self._sampler_call_groups(),
             )
         return sampler_scan_safe(self.sampler, self._qubo_n(), self.sample_count)
 

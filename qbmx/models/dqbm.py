@@ -408,6 +408,13 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
 
     # epoch-launch machinery (scan / unrolled segments / device-data cache)
     # comes from EpochLaunchMixin; only the QUBO side length is ours
+    def _sampler_call_groups(self) -> int:
+        """The linear-shortcut step samples only the unclamped phase (one
+        structured group); the normal step fuses both phases (two).  The
+        epoch-scan decision must probe the step's REAL call shapes
+        (EpochLaunchMixin.supports_epoch_scan)."""
+        return 1 if self.use_linear_shortcut else 2
+
     def _qubo_n(self) -> int:
         return self.n_output_nodes + self.n_hidden_nodes
 

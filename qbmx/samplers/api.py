@@ -68,11 +68,11 @@ def sampler_scan_safe_groups(sampler, n: int, num_problems: int,
 
     The packed kernel hangs the axon AOT compiler under scan (CLAUDE.md),
     but the LANE kernel compiles, persists in the compilation cache, and
-    runs — measured: a 40-step scanned epoch at the CDQBM sweep shape runs
-    8.5× faster than the statically-unrolled program (0.23 s vs 1.97 s)
-    and a fresh process loads it from the cache in 2.9 s, where the
-    unrolled program re-pays ~45 s of tracing/lowering per process
-    (PERFORMANCE.md §2).  True iff the routed path for the exact shapes is
+    runs — measured at the CDQBM sweep shape: first call in a fresh
+    process 5.5 s vs 46.4 s for the 40×-unrolled program (which re-pays
+    ~41 s of tracing/lowering every process), warm epochs a wash
+    (1.98 vs 2.10 s), cache entry 35× smaller (PERFORMANCE.md §2).
+    True iff the routed path for the exact shapes is
     the lane kernel or a pure-XLA fallback — callers therefore pass the
     REAL training shapes, not probes (a B=1 probe could route lane while
     the real batch routes packed, which would hang)."""
@@ -173,6 +173,18 @@ def _lane_enabled(sampler, n: int, B: int, num_reads: int,
     return _lane_preferred(n, B, num_reads, groups)
 
 
+def _scan_safe_groups(sampler, n: int, num_problems: int, num_reads: int,
+                      groups: int) -> bool:
+    """One copy of the exact-shape scan-safety rule for SA/Gibbs (like
+    _sample_groups, so the two samplers cannot drift): the lane kernel is
+    scan-safe (measured — sampler_scan_safe_groups), the packed kernel is
+    not (axon AOT hang), pure XLA is."""
+    if _lane_enabled(sampler, n, num_problems, num_reads, groups):
+        return True
+    probe = jax.ShapeDtypeStruct((groups * num_problems, n, n), jnp.float32)
+    return not sampler._pallas_enabled(probe, num_reads)
+
+
 def _sample_groups(sampler, key, Q_shared, h_extra, num_reads, lane_fn):
     """Shared lane-vs-densify body for SA/Gibbs ``sample_groups`` (ONE copy
     of the fallback so key handling / routing cannot drift between the two
@@ -238,14 +250,7 @@ class SASampler:
 
     def scan_safe_groups(self, n: int, num_problems: int, num_reads: int,
                          groups: int = 2) -> bool:
-        """Exact-shape scan-safety for the structured group call: the lane
-        kernel is scan-safe (measured — sampler_scan_safe_groups), the
-        packed kernel is not (axon AOT hang), pure XLA is."""
-        if _lane_enabled(self, n, num_problems, num_reads, groups):
-            return True
-        probe = jax.ShapeDtypeStruct((groups * num_problems, n, n),
-                                     jnp.float32)
-        return not self._pallas_enabled(probe, num_reads)
+        return _scan_safe_groups(self, n, num_problems, num_reads, groups)
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         """lax.scan-compatible iff not routed to the Pallas kernel (axon
@@ -305,14 +310,7 @@ class GibbsSampler:
 
     def scan_safe_groups(self, n: int, num_problems: int, num_reads: int,
                          groups: int = 2) -> bool:
-        """Exact-shape scan-safety for the structured group call: the lane
-        kernel is scan-safe (measured — sampler_scan_safe_groups), the
-        packed kernel is not (axon AOT hang), pure XLA is."""
-        if _lane_enabled(self, n, num_problems, num_reads, groups):
-            return True
-        probe = jax.ShapeDtypeStruct((groups * num_problems, n, n),
-                                     jnp.float32)
-        return not self._pallas_enabled(probe, num_reads)
+        return _scan_safe_groups(self, n, num_problems, num_reads, groups)
 
     def scan_safe(self, n: int, num_reads: int) -> bool:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)

@@ -354,9 +354,9 @@ def _scan_epoch(step):
     per step, so the two produce the same trajectories.  Used when the
     structured sampler call is scan-safe (lane kernel / pure XLA —
     ``sampler_scan_safe_groups``): one small program instead of an
-    nb-times-unrolled one (measured: 0.23 s vs 1.97 s per 40-batch epoch
-    on TPU, and ~45 s of per-process tracing/lowering avoided —
-    PERFORMANCE.md §2)."""
+    nb-times-unrolled one — warm epochs are a wash (1.98 vs 2.10 s at the
+    CDQBM sweep shape), the win is ~41 s of per-process tracing/lowering
+    avoided and a 35× smaller compile-cache entry (PERFORMANCE.md §2)."""
 
     @jax.jit
     def epoch(params, xb, yb, maskb, lr, keys):

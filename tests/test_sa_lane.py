@@ -281,3 +281,36 @@ def test_lane_routing_rules():
     assert not _lane_preferred(6, 20, 1000, groups=20)
     # beyond the VMEM ceiling even at fold 1
     assert not _lane_preferred(6000, 8, 100)
+
+
+def test_epoch_scan_decision_uses_real_call_shapes(monkeypatch):
+    """The epoch-scan decision must probe the step's REAL structured-call
+    shapes: a groups=2 probe for a linear-shortcut DQBM (whose step makes
+    a 1-group call) could select lax.scan while the actual call routes to
+    the packed kernel — which hangs the axon AOT compiler inside scan
+    (code-review finding, late r3).  Simulated on CPU by forcing the TPU
+    routing predicates."""
+    import qbmx.samplers.api as api
+    from qbmx.models.dqbm import DiscQBM
+
+    monkeypatch.setattr(api, "_on_tpu", lambda: True)
+
+    # review scenario: big-n shortcut model where the dense 2B probe says
+    # XLA (scan-safe) but the REAL 1-group call routes packed (hangs)
+    n, B, reads = 1255, 150, 20
+    assert not api._lane_preferred(n, B, reads, groups=1)  # lane declines
+    probe_2g = api.sampler_scan_safe_groups(
+        api.SASampler(), n, B, reads, groups=2)
+    probe_1g = api.sampler_scan_safe_groups(
+        api.SASampler(), n, B, reads, groups=1)
+    assert probe_2g and not probe_1g  # the mismatch the fix closes
+
+    m = DiscQBM(dim_input=4, n_hidden_nodes=n - 1, seed=0, sample_count=reads,
+                restricted=True, use_linear_shortcut=True)
+    assert m._qubo_n() == n
+    assert m._sampler_call_groups() == 1
+    # the model now declines the scan (uses its real 1-group shapes)
+    assert not m.supports_epoch_scan(B)
+
+    m2 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=reads)
+    assert m2._sampler_call_groups() == 2
