@@ -148,7 +148,7 @@ def _lane_preferred(n: int, num_problems: int, num_reads: int,
     from qbmx.samplers.sa_lane import lane_geometry
     from qbmx.samplers.sa_pallas import pack_geometry
 
-    _, Lc, C, _ = lane_geometry(n, num_problems, num_reads)
+    _, Lc, C, _ = lane_geometry(n, num_problems, num_reads, groups=groups)
     if Lc == 0:
         return False
     total = groups * num_problems
@@ -433,7 +433,8 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
         # otherwise raises with guidance (still no hard dependency).
         from qbmx.samplers.qpu import QPUSampler
 
-        return QPUSampler.from_ocean(solver, token=kwargs.get("token"))
+        return QPUSampler.from_ocean(solver, token=kwargs.get("token"),
+                                     copies=kwargs.get("copies", 1))
     if s == "FUJITSUDAU":
         raise NotImplementedError(
             f"QPU solver {solver!r}: qbmx is annealer-free by design. Pass any "

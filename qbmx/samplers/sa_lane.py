@@ -27,8 +27,10 @@ local fields stay one MXU matmul per 8-variable block:
     F = (J ⊗ I₈)[block rows, :] @ S        # (64, 8n) @ (8n, Lw)
 
 where ``J ⊗ I₈`` is the Kronecker expansion of the shared symmetric
-coupling matrix (built once per group on the host).  The ⊗I₈ zeros make
-this 8× redundant on the MXU — vs the packed kernel's P× (P up to 64)
+coupling matrix (built once per group on the host).  Large-n shapes drop
+to fold ∈ {4, 2, 1} so the tile stays VMEM-resident — everything below
+reads ``J ⊗ I_fold`` with fold-row slabs.  The ⊗I_fold zeros make
+this fold× redundant on the MXU — vs the packed kernel's P× (P up to 64)
 and against a ~25× MXU:VPU flop-rate ratio, so the matmuls stay a small
 fraction of each sweep.  In-block corrections after each accepted
 sub-step are (64, 8) @ (8, Lw) rank-8 updates from the per-block
@@ -70,8 +72,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def lane_geometry(n: int, num_problems: int, num_reads: int
-                  ) -> tuple[int, int, int, int]:
+def lane_geometry(n: int, num_problems: int, num_reads: int,
+                  groups: int = 1) -> tuple[int, int, int, int]:
     """(n_pad, Lc, C, fold): padded variable count, lanes per chunk, chunk
     count, lane-fold factor.
 
@@ -82,6 +84,14 @@ def lane_geometry(n: int, num_problems: int, num_reads: int
     sublane waste on sub-step ops is secondary).  Returns ``Lc = 0`` when
     even fold 1 does not fit — callers route elsewhere.  ``Lc`` is a
     multiple of ``128 * fold`` so the folded width stays lane-aligned.
+
+    ``groups``: the grid is (groups, C), and ANY grid with more than one
+    program pipelines its J/Jd/H/out blocks double-buffered under the
+    compiler's 16 MiB scoped-VMEM limit (CLAUDE.md) — so the generous
+    single-program budget applies only when ``groups == 1`` AND the lanes
+    fit one chunk; a multi-group call uses the double-buffered budget even
+    for C == 1 (ADVICE r3: the old single-chunk branch at G > 1 could
+    build a 29–53 MiB pipelined working set → compile-time VMEM OOM).
     """
     n_pad = _round_up(max(n, 1), KVARS)
     L = num_problems * num_reads
@@ -91,11 +101,14 @@ def lane_geometry(n: int, num_problems: int, num_reads: int
             continue
         lane_q = 128 * fold  # Lc granularity (lane-tile-aligned folded width)
         per_lane = 16 * n_pad  # 4 live (fold*n_pad, Lw) f32 arrays per lane
-        lc_single = (_VMEM_SINGLE - j_bytes) // per_lane
-        if _round_up(L, lane_q) <= lc_single:
-            return n_pad, _round_up(L, lane_q), 1, fold
+        if groups == 1:
+            lc_single = (_VMEM_SINGLE - j_bytes) // per_lane
+            if _round_up(L, lane_q) <= lc_single:
+                return n_pad, _round_up(L, lane_q), 1, fold
         Lc = max(((_VMEM_MULTI - 2 * j_bytes) // per_lane) // lane_q * lane_q,
                  lane_q)
+        if _round_up(L, lane_q) <= Lc:
+            return n_pad, _round_up(L, lane_q), 1, fold
         return n_pad, Lc, -(-L // Lc), fold
     return n_pad, 0, 0, 1
 
@@ -126,13 +139,14 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
                  pair: bool = False, debug: bool = False):
     """One (group, lane-chunk) program.
 
-    J_ref (1, 8n_pad, 8n_pad): the group's J⊗I₈ (symmetric couplings, zero
-    diagonal); Jd_ref (1, nb, 64, 64): its per-block diagonal sub-blocks;
-    H_ref (1, 1, 8n_pad, Lw): folded per-lane linear terms (QUBO diagonal +
-    per-problem fields); hot/logr (1, 1, 8, Lw): per-lane geometric beta
-    schedule params; out (1, 1, 8n_pad, Lw) state; thr_ref (8n_pad, Lw)
-    scratch for per-sweep acceptance thresholds (raw uniforms when
-    ``pair`` — the 4-state categorical needs them).
+    J_ref (1, fold·n_pad, fold·n_pad): the group's J⊗I_fold (symmetric
+    couplings, zero diagonal); Jd_ref (1, nb, BS, BS) with BS = 8·fold:
+    its per-block diagonal sub-blocks;
+    H_ref (1, 1, fold·n_pad, Lw): folded per-lane linear terms (QUBO
+    diagonal + per-problem fields); hot/logr (1, 1, fold, Lw): per-lane
+    geometric beta schedule params; out (1, 1, fold·n_pad, Lw) state;
+    thr_ref (fold·n_pad, Lw) scratch for per-sweep acceptance thresholds
+    (raw uniforms when ``pair`` — the 4-state categorical needs them).
     """
     assert not (pair and rule != "heatbath"), "pair updates: heat-bath only"
     if debug:
@@ -363,7 +377,7 @@ def lane_sample_groups(
     G, n, _ = Q_shared.shape
     B = h_extra.shape[1]
     R = num_reads
-    n_pad, Lc, C, fold = lane_geometry(n, B, R)
+    n_pad, Lc, C, fold = lane_geometry(n, B, R, groups=G)
     if Lc == 0:
         raise ValueError(
             f"lane kernel: coupling tile for n={n} exceeds VMEM; route elsewhere"

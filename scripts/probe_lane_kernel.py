@@ -22,7 +22,11 @@ Timing protocol per CLAUDE.md: queued bursts drained by ONE scalar fetch,
 warm-up call excluded, run EXCLUSIVELY (no other TPU process).  Also
 validates the on-chip PRNG path statistically against the exact oracle.
 
-    python scripts/probe_lane_kernel.py [--big] [--bigpacked] [--sa]
+    python scripts/probe_lane_kernel.py [--big] [--bigpacked] [--sa] [--groups]
+
+``--groups`` adds multi-group shapes (G=2 model steps, G=20 sweeps) —
+ADVICE r3: the G=1 measurements behind ``_lane_preferred`` were applied at
+G>1 by linear extrapolation; these probe the extrapolation directly.
 """
 
 from __future__ import annotations
@@ -112,6 +116,52 @@ def probe(B, n, R, S, rng, rule="heatbath", with_packed=True, reps=10):
     )
 
 
+def make_group_problem(rng, G, B, n):
+    """G shared-coupling groups (per-group Q + per-problem h) + the dense
+    (G·B, n, n) equivalent — the shape a training step (G=2 phases) or a
+    seed-parallel sweep (G=2S) hands sampler_sample_groups."""
+    Qs = random_qubo_batch(rng, G, n)
+    h = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    dense = Qs[:, None] + jax.vmap(jax.vmap(jnp.diagflat))(h)
+    return Qs, h, dense.reshape(G * B, n, n)
+
+
+def probe_groups(G, B, n, R, S, rng, reps=10):
+    """Lane vs packed+pair at G > 1 (ADVICE r3: every routing measurement
+    behind _lane_preferred used G=1; production applies the rule at G=2
+    (model steps) and G=2S (sweeps) by extrapolation)."""
+    Qs, h, Qd = make_group_problem(rng, G, B, n)
+    bh = jnp.full((G, B), 0.3)
+    bc = jnp.full((G, B), 1.0)
+    t_lane = timed(lambda i: lane_sample_groups(
+        jax.random.key(i), Qs, h, R, S, rule="heatbath",
+        beta_hot=bh, beta_cold=bc), reps)
+    t_pack = timed(lambda i: gibbs_sample_batch_pallas(
+        jax.random.key(i), Qd, R, S, 1.0, pair=True), reps)
+    npad, Lc, C, fold = lane_geometry(n, B, R, groups=G)
+    _, P, N = pack_geometry(n, batch=G * B, reads=R)
+    from qbmx.samplers.api import _lane_preferred
+
+    routed = "lane" if _lane_preferred(n, B, R, G) else "packed/xla"
+    print(
+        f"G={G:3d} B={B:5d} n={n:3d} R={R:4d} S={S:4d} [heatbath ] "
+        f"lane {t_lane*1e3:8.1f} ms (G*C={G * C} fold={fold}) | "
+        f"packed+pair {t_pack*1e3:8.1f} ms ({-(-G * B // P)} programs P={P})"
+        f" | routed={routed}",
+        flush=True,
+    )
+
+
+# (G, B, n, R, S): model steps are G=2; 10-seed sweeps are G=20
+GROUP_SHAPES = [
+    (2, 60, 41, 100, 1000),   # CDQBM-class training step
+    (2, 256, 41, 100, 100),   # the formerly-untested G=2 single-chunk band
+    (2, 470, 41, 100, 100),   # upper edge of that band
+    (20, 60, 9, 100, 100),    # few-reads 10-seed sweep step
+    (20, 60, 6, 1000, 64),    # BMS breastmnist sweep step (packed-routed)
+]
+
+
 def quality(rng, reads=4096, warmup=64, n=6, B=8):
     """On-chip PRNG path vs exact oracle marginals at beta=1."""
     Qs, h, Qd = make_problem(rng, B, n)
@@ -139,6 +189,9 @@ def main(argv):
     if "--big" in argv:
         B, n, R, S = BIG
         probe(B, n, R, S, rng, with_packed="--bigpacked" in argv, reps=3)
+    if "--groups" in argv:
+        for G, B, n, R, S in GROUP_SHAPES:
+            probe_groups(G, B, n, R, S, rng)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ def test_multi_chunk_grid_matches(monkeypatch):
     G, B, n, reads, sweeps = 1, 3, 9, 700, 4
     Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
 
-    def tiny_chunks(n_, num_problems, num_reads):
+    def tiny_chunks(n_, num_problems, num_reads, groups=1):
         n_pad = ((n_ + 7) // 8) * 8
         L = num_problems * num_reads
         return n_pad, 1024, -(-L // 1024), 8
@@ -141,6 +141,35 @@ def test_lane_geometry_limits():
     # the fold-1 path is exercised in CI too (debug test below)
 
 
+def test_lane_geometry_group_budget():
+    """ADVICE r3 (medium): a (G, C) grid with G > 1 pipelines double-
+    buffered even at C == 1, so the generous single-program budget must be
+    reserved for a TRUE single-program grid.  The reachable band n=41,
+    R=100, per-group B=256–470 at G=2 (model training shapes) used to get
+    the 36 MB single-chunk branch → a 29–53 MiB pipelined working set →
+    compile-time VMEM OOM risk; it must now use the double-buffered
+    budget's chunk size."""
+    n, R = 41, 100
+    n_pad, Lc_multi, _, fold = lane_geometry(n, 600, R)  # known multi-chunk
+    assert fold == 8
+    per_lane = 16 * n_pad
+    for B in (256, 470):
+        npad, Lc, C, f = lane_geometry(n, B, R, groups=2)
+        assert f == fold and npad == n_pad
+        # every per-program chunk obeys the double-buffered budget
+        assert Lc <= Lc_multi
+        j_bytes = 4 * (f * npad) ** 2
+        assert 2 * j_bytes + per_lane * Lc <= sl._VMEM_MULTI
+        assert C * Lc >= B * R
+        # the G=1 single-program branch is unchanged (fits the 36 MB budget
+        # in one chunk at these lane counts)
+        _, Lc1, C1, _ = lane_geometry(n, B, R, groups=1)
+        assert C1 == 1 and per_lane * Lc1 + j_bytes <= sl._VMEM_SINGLE
+    # a G>1 shape whose lanes fit one double-buffered chunk stays C == 1
+    _, Lc_s, C_s, _ = lane_geometry(9, 60, 100, groups=2)
+    assert C_s == 1
+
+
 @pytest.mark.parametrize("fold", [1, 2, 4])
 def test_small_fold_matches(monkeypatch, fold):
     """Sub-8 folds (large-n routing) are pure layout: same trajectories."""
@@ -148,7 +177,7 @@ def test_small_fold_matches(monkeypatch, fold):
     G, B, n, reads, sweeps = 1, 2, 13, 40, 4
     Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
 
-    def forced(n_, num_problems, num_reads):
+    def forced(n_, num_problems, num_reads, groups=1):
         n_pad = ((n_ + 7) // 8) * 8
         L = num_problems * num_reads
         q = 128 * fold
@@ -227,7 +256,7 @@ def test_pair_small_fold_matches_xla_pair_sweep(monkeypatch, fold):
     G, B, n, reads, sweeps = 1, 2, 13, 40, 4
     Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
 
-    def forced(n_, num_problems, num_reads):
+    def forced(n_, num_problems, num_reads, groups=1):
         n_pad = ((n_ + 7) // 8) * 8
         L = num_problems * num_reads
         q = 128 * fold
