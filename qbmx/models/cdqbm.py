@@ -682,10 +682,11 @@ class CDQBM(EpochLaunchMixin, QBMModel):
 
     # -- checkpointing -------------------------------------------------------
 
-    def weight_objects(self):
+    def weight_objects(self, params: "CDQBMParams | None" = None):
         """Reference ``weight_objects`` ordering
-        (``src/model/cdqbm_state.py:40-47``)."""
-        p = self.params
+        (``src/model/cdqbm_state.py:40-47``).  ``params`` defaults to the
+        live parameters; sweeps pass per-seed best-epoch snapshots."""
+        p = params if params is not None else self.params
         objs = [
             np.asarray(p.kernel),
             [np.asarray(w) for w in p.w_seq],

@@ -472,10 +472,11 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
 
     # -- checkpointing (reference pickle format compatible) ------------------
 
-    def weight_objects(self):
+    def weight_objects(self, params: DQBMParams | None = None):
         """Reference ``weight_objects`` ordering
-        (``src/model/faster_dqbm.py:90-94``)."""
-        p = self.params
+        (``src/model/faster_dqbm.py:90-94``).  ``params`` defaults to the
+        live parameters; sweeps pass per-seed best-epoch snapshots."""
+        p = params if params is not None else self.params
         objs = [
             np.asarray(p.w_vh),
             np.asarray(p.w_vo),

@@ -425,3 +425,114 @@ def test_scan_epoch_matches_unrolled_exactly():
         np.asarray(jax.random.key_data(k1)), np.asarray(jax.random.key_data(k2)))
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBestEpochCapture:
+    """VERDICT r3 Missing #1: sweep winners' (seed, epoch) checkpoints must
+    be reloadable without retraining."""
+
+    def test_track_best_updates_only_improved_seeds(self):
+        import types
+
+        import jax.numpy as jnp
+
+        from qbmx.train.sweep import _track_best
+        from qbmx.utils.metrics import History
+
+        sw = types.SimpleNamespace(
+            S=2, best_params=None, best_metric=np.full(2, -np.inf),
+            best_epoch=np.zeros(2, dtype=int),
+            params={"w": jnp.asarray([[1.0], [10.0]])})
+        h0, h1 = History(), History()
+        h0.combined_acc_auc_per_epoch.append(0.6)
+        h1.combined_acc_auc_per_epoch.append(0.8)
+        _track_best(sw, [h0, h1], 1)
+        np.testing.assert_array_equal(np.asarray(sw.best_params["w"]),
+                                      [[1.0], [10.0]])
+        # epoch 2: seed 0 improves, seed 1 regresses — only row 0 updates
+        sw.params = {"w": jnp.asarray([[2.0], [20.0]])}
+        h0.combined_acc_auc_per_epoch.append(0.7)
+        h1.combined_acc_auc_per_epoch.append(0.5)
+        _track_best(sw, [h0, h1], 2)
+        np.testing.assert_array_equal(np.asarray(sw.best_params["w"]),
+                                      [[2.0], [10.0]])
+        np.testing.assert_array_equal(sw.best_epoch, [2, 1])
+        np.testing.assert_allclose(sw.best_metric, [0.7, 0.8])
+
+    def test_dqbm_reload_winner(self, tmp_path, rng):
+        from qbmx.train.sweep import SeedParallelDQBM
+
+        x, y = two_cluster_data(rng)
+        seeds = [0, 1]
+        sweep = SeedParallelDQBM(seeds, dim_input=6, n_hidden_nodes=3,
+                                 sample_count=512, sampler=ExactSampler())
+        hists = sweep.train(x, y, x, y, epochs=5, batch_size=24,
+                            learning_rate=0.3, verbose=False)
+        for s in range(2):
+            comb = hists[s].combined_acc_auc_per_epoch
+            assert sweep.best_epoch[s] == int(np.argmax(comb)) + 1
+            assert sweep.best_metric[s] == pytest.approx(max(comb))
+        paths = sweep.save_best_models(tmp_path)
+        assert set(paths) == set(seeds)
+        assert all("best_model" in p for p in paths.values())
+
+        # reload seed 0's winner into a fresh DiscQBM and check it IS the
+        # snapshot (bitwise) and reproduces the recorded val accuracy
+        model = DiscQBM(dim_input=6, n_hidden_nodes=3, seed=0,
+                        sample_count=2048, sampler=ExactSampler(),
+                        load_path=paths[0])
+        snap = sweep.best_params_for_seed(0)
+        for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(snap)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        preds, _ = model.predict_batch(x)
+        acc = float(np.mean(preds == y))
+        best_acc = hists[0].acc_per_epoch[int(sweep.best_epoch[0]) - 1]
+        assert abs(acc - best_acc) <= 0.1, (acc, best_acc)
+
+    def test_cdqbm_reload_winner(self, tmp_path, rng):
+        from qbmx.models.cdqbm import CDQBM
+        from qbmx.samplers.api import GibbsSampler
+        from qbmx.train.sweep import SeedParallelCDQBM
+
+        donor = CDQBM(image_shape=(4, 4), num_label_nodes=1, seed=0,
+                      kernel_size=3, pooling_size=2,
+                      pooling_type="deterministic",
+                      sequential_layer_sizes=[2], hidden_bias_type="shared",
+                      sample_count=64, sampler=GibbsSampler(num_warmup=8))
+        sweep = SeedParallelCDQBM([5, 6], donor)
+        x = rng.uniform(0, 1, (24, 4, 4)).astype("float32")
+        y = rng.integers(0, 2, 24).astype("float32")
+        sweep.train(x, y, x, y, epochs=3, batch_size=12, learning_rate=0.2,
+                    verbose=False)
+        paths = sweep.save_best_models(tmp_path)
+        fresh = CDQBM(image_shape=(4, 4), num_label_nodes=1, seed=99,
+                      kernel_size=3, pooling_size=2,
+                      pooling_type="deterministic",
+                      sequential_layer_sizes=[2], hidden_bias_type="shared",
+                      sample_count=64, sampler=GibbsSampler(num_warmup=8))
+        fresh.load_params(paths[6])
+        snap = sweep.best_params_for_seed(1)
+        for a, b in zip(jax.tree.leaves(fresh.params), jax.tree.leaves(snap)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rbm_reload_winner_exact_accuracy(self, tmp_path, rng):
+        """RBM prediction is deterministic (exact p(y|x)), so the reloaded
+        winner must reproduce its best-epoch test accuracy EXACTLY."""
+        from qbmx.models.rbm import ClassificationRBM
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=48, D=8)
+        tx, ty = two_cluster_data(rng, n=20, D=8)
+        sweep = SeedParallelRBM([11, 12], num_visible=8, num_hidden=3,
+                                learning_rate=0.2)
+        acc_lists, auc_lists = sweep.sweep(x, y, tx, ty, epochs=4,
+                                           batch_size=12)
+        comb = 0.5 * np.asarray(acc_lists) + 0.5 * np.asarray(auc_lists)
+        for s in range(2):
+            assert sweep.best_epoch[s] == int(np.argmax(comb[s])) + 1
+        paths = sweep.save_best_models(tmp_path)
+        rbm = ClassificationRBM(num_visible=8, num_hidden=3, seed=0)
+        rbm.load_params(paths[11])
+        acc, _ = rbm.run_test_set(tx, ty)
+        assert acc == pytest.approx(
+            acc_lists[0][int(sweep.best_epoch[0]) - 1])
