@@ -98,6 +98,9 @@ def train_model(
     history: History | None = None,
     progress: bool = False,
     reinit_on_collapse: int = 0,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+    start_epoch: int = 0,
 ) -> History:
     """``progress=True`` draws a tqdm bar over the per-batch loop (only the
     eager path has batch granularity; whole-epoch launches are single
@@ -108,7 +111,21 @@ def train_model(
     majority-class fraction for the whole window (the flatline failure
     mode — an init-basin property, PARITY.md §4), call
     ``model.reinit_params(attempt)`` with a fresh attempt number and
-    train on within the remaining epochs."""
+    train on within the remaining epochs.
+
+    ``checkpoint_every`` (VERDICT r3 Missing #3): every N epochs write a
+    FULL-state ``.npz`` (params + PRNG stream + history + epoch,
+    ``qbmx.utils.checkpoint.save_checkpoint``) to ``checkpoint_path`` —
+    resuming from it reproduces the uninterrupted run BIT-identically
+    (pinned by tests/test_train_loop.py).  ``start_epoch`` is the epoch
+    count already completed (from ``load_checkpoint``); training runs
+    epochs ``start_epoch+1 .. epochs``.  On a crash the same full state is
+    written to ``<checkpoint_path>_crash`` next to the reference-style
+    weight pickle — but a mid-epoch crash state may sit between epoch
+    boundaries (the unrolled-segment launch mutates params per segment),
+    so exact resume is only guaranteed from the periodic end-of-epoch
+    checkpoints; the reference keeps only the weight pickle
+    (``src/model/faster_dqbm.py:1128-1134``)."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
     epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
@@ -121,6 +138,11 @@ def train_model(
     n = len(train_X)
     num_batches = max(-(-n // batch_size), 1)  # ceil: the ragged tail trains too
     reinit_attempt = 0
+
+    def _save_state(path, epoch_done):
+        from qbmx.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, model, history, epoch_done)
 
     # whole-epoch launches: lax.scan when the sampler allows it, unrolled
     # segments otherwise (model.train_epoch picks); only the native sampler
@@ -136,7 +158,7 @@ def train_model(
         epoch_jit_ok = True
     use_scan = hasattr(model, "train_epoch") and epoch_jit_ok
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch + 1, epochs + 1):
         epoch_errors = 0.0
         epoch_nll = 0.0
         batchnum = 1
@@ -148,16 +170,23 @@ def train_model(
                 if save_folder:
                     model.save_weights(f"e{epoch}_crash", save_folder)
                     save_history(f"{save_folder}/", history)
+                if checkpoint_path:
+                    _save_state(f"{checkpoint_path}_crash", epoch - 1)
                 raise
             history.errors_per_batch.extend(float(e) for e in errs)
             history.nll_per_batch.extend(float(v) for v in nlls)
             epoch_errors = float(np.sum(errs))
             epoch_nll = float(np.sum(nlls))
         else:
-            epoch_errors, epoch_nll = _run_epoch_batches(
-                model, train_X, train_Y, batch_size, learning_rate, history,
-                save_folder, epoch, progress=progress,
-            )
+            try:
+                epoch_errors, epoch_nll = _run_epoch_batches(
+                    model, train_X, train_Y, batch_size, learning_rate, history,
+                    save_folder, epoch, progress=progress,
+                )
+            except Exception:
+                if checkpoint_path:
+                    _save_state(f"{checkpoint_path}_crash", epoch - 1)
+                raise
 
         if save_folder:
             model.save_weights(f"e{epoch}", save_folder)
@@ -193,6 +222,9 @@ def train_model(
 
         history.error_per_epoch.append(epoch_errors / num_batches)
         history.nll_per_epoch.append(epoch_nll / num_batches)
+
+        if checkpoint_every and checkpoint_path and epoch % checkpoint_every == 0:
+            _save_state(checkpoint_path, epoch)
 
     if save_folder:
         seed = getattr(model, "seed", 0)

