@@ -276,27 +276,42 @@ class GibbsSampler:
     default) enables pairs on the packed-kernel route — a measured
     1.17–3.4× with oracle agreement unchanged
     (out/parity/pair_gibbs_ab_r3.log) — and keeps the XLA path on
-    single-variable sweeps; pass True/False to force both paths."""
+    single-variable sweeps; pass True/False to force both paths.
+
+    ``quad_updates``: widen the joint update to variable QUADRUPLES
+    (exact 16-state conditionals) — quarter the sub-step chain at 4× the
+    per-sub-step element work, which pays in the kernel's issue-latency-
+    bound regime.  ``True`` forces quads on both routes (demoted to pairs
+    when the pack fuses < 4 vars/block); ``False``/``None`` keeps the
+    pair default.  Takes precedence over ``pair_updates`` when set."""
 
     num_warmup: int = 64
     beta: float = 1.0
     use_pallas: bool | None = None
     pair_updates: bool | None = None
+    quad_updates: bool | None = None
 
     def sample_batch(self, key, Q, num_reads):
+        quad = self.quad_updates is True
         if self._pallas_enabled(Q, num_reads):
             from qbmx.samplers import sa_pallas
 
             return sa_pallas.gibbs_sample_batch_pallas(
                 key, Q, num_reads, self.num_warmup, self.beta,
-                pair=self.pair_updates is not False,
+                pair=not quad and self.pair_updates is not False,
+                quad=quad,
             )
         return _gibbs.gibbs_sample_batch(key, Q, num_reads, self.num_warmup,
                                          self.beta,
-                                         pair=bool(self.pair_updates))
+                                         pair=not quad and bool(self.pair_updates),
+                                         quad=quad)
 
     def sample_groups(self, key, Q_shared, h_extra, num_reads):
-        """Structured shared-coupling path (see sampler_sample_groups)."""
+        """Structured shared-coupling path (see sampler_sample_groups).
+        The lane kernel has no quad variant (pair measured only 1.2–1.3×
+        there — the lane regime is not sub-step-latency-bound the way the
+        packed one is), so ``quad_updates`` rides as pairs here; the
+        densify fallback honors it via :meth:`sample_batch`."""
         from qbmx.samplers import sa_lane
 
         return _sample_groups(
@@ -421,6 +436,7 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
             beta=kwargs.get("beta", 1.0),
             use_pallas=kwargs.get("use_pallas"),
             pair_updates=kwargs.get("pair_updates"),
+            quad_updates=kwargs.get("quad_updates"),
         )
     if s == "PT":
         return PTSampler(

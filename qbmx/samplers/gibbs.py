@@ -85,7 +85,109 @@ def _pair_heat_bath_sweep(s, u, beta, h, J):
     return s
 
 
-@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair"))
+# quad state index s = b1·8 + b2·4 + b3·2 + b4 (MSB = lowest variable);
+# the six intra-quad coupling pairs in lexicographic order
+_QUAD_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _quad_heat_bath_sweep(s, u, beta, h, J):
+    """One sequential QUAD-Gibbs sweep: variable quadruples
+    (0..3),(4..7),… are jointly resampled from their exact 16-state
+    conditional; a remainder of 2–3 variables gets one pair draw (and a
+    trailing odd variable a single heat-bath draw).  Quarter the
+    sequential depth per sweep of single-variable sweeps — the packed
+    kernel's measured floor is its per-sub-step chain, and pair updates
+    beat the pure 2× depth bound there (3.41× at B=120 n=6 R=1000,
+    ``out/parity/pair_gibbs_ab_r3.log``), so the regime is issue-latency
+    bound and a deeper joint update can pay despite 4× the per-sub-step
+    element work.  Preserves the Boltzmann distribution (sequential-scan
+    Gibbs on quad blocks).
+
+    Uniform consumption: quad (i..i+3) draws from ``u[i]``; remainder
+    pair (i, i+1) from ``u[i]``; trailing single from ``u[n-1]``.  The
+    Pallas kernel consumes identically and mirrors every float op in the
+    same association order (CI debug tests lock the two bit-for-bit).
+    Grouping is globally consecutive, which equals the kernel's per-block
+    grouping because every quad-capable block size is a multiple of 4.
+    """
+    n = h.shape[0]
+
+    def quad_body(q, s):
+        i = 4 * q
+        f = [h[i + a] + jnp.dot(s, J[i + a], precision="highest")
+             for a in range(4)]  # (R,) each
+        c = {(a, b): J[i + a, i + b] for a, b in _QUAD_PAIRS}
+        fp = []
+        for a in range(4):
+            fa = f[a]
+            for b in range(4):
+                if b != a:
+                    fa = fa - c[(min(a, b), max(a, b))] * s[:, i + b]
+            fp.append(fa)
+        es = [jnp.zeros_like(fp[0])]
+        for idx in range(1, 16):
+            bits = [(idx >> (3 - a)) & 1 for a in range(4)]
+            acc = None
+            for a in range(4):
+                if bits[a]:
+                    acc = fp[a] if acc is None else acc + fp[a]
+            for a, b in _QUAD_PAIRS:
+                if bits[a] and bits[b]:
+                    acc = acc + c[(a, b)]
+            es.append(-beta * acc)
+        m = es[1]
+        for idx in range(2, 16):
+            m = jnp.maximum(m, es[idx])
+        m = jnp.maximum(m, 0.0)
+        ws = [jnp.exp(e - m) for e in es]
+        cum = ws[0]
+        cums = [cum]
+        for idx in range(1, 16):
+            cum = cum + ws[idx]
+            cums.append(cum)
+        t = u[i] * cums[15]
+        sel = jnp.zeros_like(t, dtype=jnp.int32)
+        for idx in range(15):
+            sel = sel + (t >= cums[idx]).astype(jnp.int32)
+        for a in range(4):
+            bit = jnp.bitwise_and(jnp.right_shift(sel, 3 - a), 1)
+            s = s.at[:, i + a].set(bit.astype(s.dtype))
+        return s
+
+    nq = n // 4
+    s = jax.lax.fori_loop(0, nq, quad_body, s)
+    r = n - 4 * nq
+    if r >= 2:  # remainder pair — identical math to _pair_heat_bath_sweep
+        i = 4 * nq
+        f1 = h[i] + jnp.dot(s, J[i], precision="highest")
+        f2 = h[i + 1] + jnp.dot(s, J[i + 1], precision="highest")
+        c = J[i, i + 1]
+        f1p = f1 - c * s[:, i + 1]
+        f2p = f2 - c * s[:, i]
+        e01 = -beta * f2p
+        e10 = -beta * f1p
+        e11 = -beta * (f1p + f2p + c)
+        m = jnp.maximum(jnp.maximum(e01, e10), jnp.maximum(e11, 0.0))
+        w00 = jnp.exp(-m)
+        w01 = jnp.exp(e01 - m)
+        w10 = jnp.exp(e10 - m)
+        w11 = jnp.exp(e11 - m)
+        Z = w00 + w01 + w10 + w11
+        t = u[i] * Z
+        cum2 = w00 + w01
+        cum3 = cum2 + w10
+        new1 = (t >= cum2).astype(s.dtype)
+        new2 = (((t >= w00) & (t < cum2)) | (t >= cum3)).astype(s.dtype)
+        s = s.at[:, i].set(new1).at[:, i + 1].set(new2)
+    if r % 2:
+        i = n - 1
+        f = h[i] + jnp.dot(s, J[i], precision="highest")
+        w = jnp.exp(beta * f)
+        s = s.at[:, i].set((u[i] * (1.0 + w) < 1.0).astype(s.dtype))
+    return s
+
+
+@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair", "quad"))
 def gibbs_sample(
     key: jax.Array,
     Q: jax.Array,
@@ -93,12 +195,14 @@ def gibbs_sample(
     num_warmup: int = 32,
     beta: float = 1.0,
     pair: bool = False,
+    quad: bool = False,
 ) -> jax.Array:
     """Draw ``num_reads`` approximate Boltzmann samples at inverse temp ``beta``.
 
     Each read is its own chain: annealed from a hot start down to ``beta``
     over ``num_warmup`` sweeps, then read out once (independent chains, no
-    autocorrelation between reads).
+    autocorrelation between reads).  ``pair``/``quad`` pick the joint
+    update width (2- or 4-variable exact conditionals; quad wins).
     """
     n = Q.shape[-1]
     h, J = split_qubo(Q)
@@ -109,7 +213,8 @@ def gibbs_sample(
     key_init, key_run = jax.random.split(key)
     s0 = jax.random.bernoulli(key_init, 0.5, (num_reads, n)).astype(jnp.float32)
     sweep_keys = jax.random.split(key_run, num_warmup)
-    sweep = _pair_heat_bath_sweep if pair else _heat_bath_sweep
+    sweep = (_quad_heat_bath_sweep if quad
+             else _pair_heat_bath_sweep if pair else _heat_bath_sweep)
 
     def step(s, xs):
         b, k = xs
@@ -120,7 +225,7 @@ def gibbs_sample(
     return s
 
 
-@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair"))
+@partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair", "quad"))
 def gibbs_sample_batch(
     key: jax.Array,
     Q: jax.Array,
@@ -128,6 +233,7 @@ def gibbs_sample_batch(
     num_warmup: int = 32,
     beta: float = 1.0,
     pair: bool = False,
+    quad: bool = False,
 ) -> jax.Array:
     """Batched variant: ``Q`` (B, n, n) → samples (B, num_reads, n).
     ``key``: single key, or a (B,) key array (one per problem — position-
@@ -135,5 +241,6 @@ def gibbs_sample_batch(
     B = Q.shape[0]
     keys = key if key.ndim else jax.random.split(key, B)
     return jax.vmap(
-        lambda k, q: gibbs_sample(k, q, num_reads, num_warmup, beta, pair)
+        lambda k, q: gibbs_sample(k, q, num_reads, num_warmup, beta, pair,
+                                  quad)
     )(keys, Q)

@@ -171,10 +171,16 @@ def _roll_rows(x, shift: int):
     return jnp.roll(x, shift, axis=0)
 
 
+#: quad state index s = b1·8 + b2·4 + b3·2 + b4 (MSB = lowest variable);
+#: intra-quad coupling pairs in lexicographic order — must match
+#: gibbs._QUAD_PAIRS (the CI debug tests lock the two bit-for-bit)
+_QUAD_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
 def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                P: int, num_sweeps: int, use_mask: bool,
                rule: str = "metropolis", M: int = 0, stride: int = 0,
-               pair: bool = False, debug: bool = False):
+               pair: bool = False, quad: bool = False, debug: bool = False):
     """One pack of P problems, interleaved layout.
 
     J_ref (1, N, N): couplings, row i*P+p = var i of problem p;
@@ -214,20 +220,22 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
     """
     pt = M > 0
     assert not (pt and use_mask), "PT requires the block-sweep strategy"
-    assert not (pair and (pt or use_mask or rule != "heatbath")), (
-        "pair updates: heat-bath block-sweep only"
+    assert not ((pair or quad) and (pt or use_mask or rule != "heatbath")), (
+        "joint updates: heat-bath block-sweep only"
     )
+    assert not (pair and quad), "pair and quad updates are exclusive"
+    joint = pair or quad
     if debug:
         if pt:
             init_ref, u_all_ref, swap_all_ref, out_ref, u_ref, E_ref = rest
-        elif pair:
+        elif joint:
             init_ref, u_all_ref, out_ref, u_ref, beta_ref = rest
         else:
             init_ref, u_all_ref, out_ref, u_ref = rest
     else:
         if pt:
             out_ref, u_ref, E_ref = rest
-        elif pair:
+        elif joint:
             out_ref, u_ref, beta_ref = rest
         else:
             out_ref, u_ref = rest
@@ -292,10 +300,10 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
             beta_rows = hot  # fixed per-rung temperatures, no annealing
         else:
             beta_rows = hot * jnp.exp(logr * frac)  # (N, 1), once per sweep
-        if pair:
-            # pair sub-steps need the 4-state categorical, so keep the raw
-            # uniforms and stash beta per row (lane-padded — a (N,1) VMEM
-            # scratch would pad to 128 lanes anyway, CLAUDE.md)
+        if joint:
+            # joint sub-steps need the 4-/16-state categorical, so keep the
+            # raw uniforms and stash beta per row (lane-padded — a (N,1)
+            # VMEM scratch would pad to 128 lanes anyway, CLAUDE.md)
             u_ref[...] = u
             beta_ref[...] = jnp.broadcast_to(beta_rows, (N, 128))
         elif rule == "metropolis":
@@ -328,12 +336,14 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
             F = jnp.dot(Jb, out_ref[0], preferred_element_type=jnp.float32)
             Jd = Jd_ref[0, b]  # (BS, BS) within-block couplings
 
-            if pair:
-                # joint pair-Gibbs: consecutive variable pairs resampled
-                # from their exact 4-state conditional — HALF the
+            if joint:
+                # joint Gibbs: variable QUADS (when ``quad``) then PAIRS
+                # then a trailing single are resampled from their exact
+                # 16-/4-state joint conditionals — 1/4 (resp. 1/2) the
                 # sequential sub-steps per sweep (the kernel's measured
                 # floor is the per-sub-step chain, PERFORMANCE.md §1).
-                # Semantics = gibbs._pair_heat_bath_sweep (CI-locked).
+                # Semantics = gibbs._quad_heat_bath_sweep /
+                # _pair_heat_bath_sweep (CI-locked bit-for-bit).
                 eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
                         == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
                         ).astype(jnp.float32)
@@ -342,18 +352,78 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                     rj = r0 + off
                     return pl.ds(pl.multiple_of(rj, 8) if P % 8 == 0 else rj, P)
 
-                npairs, tail = divmod(k_here, 2)
+                def cdiag(off_a, off_b):
+                    # per-problem coupling J[var_a, var_b]: diagonal of the
+                    # (P, P) cross block (Mosaic-friendly: multiply by eye,
+                    # sum) — (P, 1)
+                    return jnp.sum(
+                        Jd[off_a : off_a + P, off_b : off_b + P] * eyeP,
+                        axis=1, keepdims=True)
+
+                nquads = k_here // 4 if quad else 0
+                done = 4 * nquads
+                npairs, tail = divmod(k_here - done, 2)
+
+                for qd in range(nquads):  # static unroll
+                    j1 = 4 * qd * P
+                    offs = [j1 + a * P for a in range(4)]
+                    rows = [prows(o) for o in offs]
+                    s_old = [out_ref[0, r, :] for r in rows]
+                    f = [F[o : o + P, :] for o in offs]
+                    c = {ab: cdiag(offs[ab[0]], offs[ab[1]])
+                         for ab in _QUAD_PAIRS}
+                    fp = []
+                    for a in range(4):
+                        fa = f[a]
+                        for b in range(4):
+                            if b != a:
+                                fa = fa - c[(min(a, b), max(a, b))] * s_old[b]
+                        fp.append(fa)
+                    beta = beta_ref[rows[0], :][:, 0:1]  # (P, 1)
+                    es = [jnp.zeros_like(fp[0])]
+                    for idx in range(1, 16):
+                        bits = [(idx >> (3 - a)) & 1 for a in range(4)]
+                        acc = None
+                        for a in range(4):
+                            if bits[a]:
+                                acc = fp[a] if acc is None else acc + fp[a]
+                        for a, b in _QUAD_PAIRS:
+                            if bits[a] and bits[b]:
+                                acc = acc + c[(a, b)]
+                        es.append(-beta * acc)
+                    m = es[1]
+                    for idx in range(2, 16):
+                        m = jnp.maximum(m, es[idx])
+                    m = jnp.maximum(m, 0.0)
+                    ws = [jnp.exp(e - m) for e in es]
+                    cum = ws[0]
+                    cums = [cum]
+                    for idx in range(1, 16):
+                        cum = cum + ws[idx]
+                        cums.append(cum)
+                    t4 = u_ref[rows[0], :] * cums[15]
+                    sel = jnp.zeros_like(t4, dtype=jnp.int32)
+                    for idx in range(15):
+                        sel = sel + (t4 >= cums[idx]).astype(jnp.int32)
+                    new = [jnp.bitwise_and(jnp.right_shift(sel, 3 - a), 1
+                                           ).astype(jnp.float32)
+                           for a in range(4)]
+                    for a in range(4):
+                        out_ref[0, rows[a], :] = new[a]
+                    if 4 * (qd + 1) < k_here:
+                        ds4 = jnp.concatenate(
+                            [new[a] - s_old[a] for a in range(4)], axis=0)
+                        F = F + jnp.dot(Jd[:, j1 : j1 + 4 * P], ds4,
+                                        preferred_element_type=jnp.float32)
+
                 for q in range(npairs):  # static unroll
-                    j1 = 2 * q * P
+                    j1 = (done + 2 * q) * P
                     rows1, rows2 = prows(j1), prows(j1 + P)
                     s1 = out_ref[0, rows1, :]
                     s2 = out_ref[0, rows2, :]
                     f1 = F[j1 : j1 + P, :]
                     f2 = F[j1 + P : j1 + 2 * P, :]
-                    # per-problem pair coupling: diagonal of the (P, P)
-                    # cross block (Mosaic-friendly: multiply by eye, sum)
-                    c = jnp.sum(Jd[j1 : j1 + P, j1 + P : j1 + 2 * P] * eyeP,
-                                axis=1, keepdims=True)  # (P, 1)
+                    c = cdiag(j1, j1 + P)  # (P, 1) per-problem pair coupling
                     beta = beta_ref[rows1, :][:, 0:1]  # (P, 1)
                     f1p = f1 - c * s2  # fields excluding the partner
                     f2p = f2 - c * s1
@@ -367,20 +437,20 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
                     w10 = jnp.exp(e10 - m)
                     w11 = jnp.exp(e11 - m)
                     Z = w00 + w01 + w10 + w11
-                    t = u_ref[rows1, :] * Z
+                    tp = u_ref[rows1, :] * Z
                     cum2 = w00 + w01
                     cum3 = cum2 + w10
-                    new1 = (t >= cum2).astype(jnp.float32)
-                    new2 = (((t >= w00) & (t < cum2)) | (t >= cum3)
+                    new1 = (tp >= cum2).astype(jnp.float32)
+                    new2 = (((tp >= w00) & (tp < cum2)) | (tp >= cum3)
                             ).astype(jnp.float32)
                     out_ref[0, rows1, :] = new1
                     out_ref[0, rows2, :] = new2
-                    if 2 * (q + 1) < k_here:
+                    if done + 2 * (q + 1) < k_here:
                         ds2p = jnp.concatenate([new1 - s1, new2 - s2], axis=0)
                         F = F + jnp.dot(Jd[:, j1 : j1 + 2 * P], ds2p,
                                         preferred_element_type=jnp.float32)
                 if tail:  # odd trailing variable: single heat-bath draw
-                    j1 = 2 * npairs * P
+                    j1 = (done + 2 * npairs) * P
                     rows = prows(j1)
                     f = F[j1 : j1 + P, :]
                     beta = beta_ref[rows, :][:, 0:1]
@@ -479,6 +549,7 @@ def _interleave_rows(A, G, P, stride, N, R, fill):
 
 def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
                 rule: str, M: int = 0, pair: bool = False,
+                quad: bool = False,
                 interpret: bool = False, debug_randoms=None):
     """Shared packing + pallas_call driver for all three samplers.
 
@@ -574,9 +645,13 @@ def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
     # is ~flat (mask 8.2ms vs 10.7ms at R=128, but 320ms vs 10.7ms at
     # R=1024; B=120, n=6, 1000 sweeps).  PT and pair updates always use
     # the block path (exchange/pair machinery lives there).
+    assert not (pair and quad), "pair and quad updates are exclusive"
+    if quad and block_vars(P) < 4:
+        quad, pair = False, True  # P=64 fuses 2 vars/block: pairs only
     if pair and block_vars(P) < 2:
         pair = False  # P=128 fuses one var per block: no pairs to form
-    use_mask = stride <= 16 and R <= 128 and not pt and not pair
+    use_mask = (stride <= 16 and R <= 128 and not pt and not pair
+                and not quad)
 
     if use_mask:
         # the masked strategy never reads Jd — pass a minimal placeholder
@@ -603,13 +678,13 @@ def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
     scratch_shapes = [pltpu.VMEM((N, R), jnp.float32)]
     if pt:
         scratch_shapes.append(pltpu.VMEM((P, R), jnp.float32))
-    elif pair:
+    elif pair or quad:
         scratch_shapes.append(pltpu.VMEM((N, 128), jnp.float32))  # beta rows
 
     out = pl.pallas_call(
         partial(_sa_kernel, n=n, P=P, num_sweeps=num_sweeps,
                 use_mask=use_mask, rule=rule, M=M, stride=stride, pair=pair,
-                debug=debug),
+                quad=quad, debug=debug),
         grid=(G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, N, R), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -655,7 +730,7 @@ def sa_sample_batch_pallas(
 
 
 @partial(jax.jit, static_argnames=("num_reads", "num_warmup", "pair",
-                                   "interpret"))
+                                   "quad", "interpret"))
 def gibbs_sample_batch_pallas(
     key: jax.Array,
     Q: jax.Array,
@@ -663,6 +738,7 @@ def gibbs_sample_batch_pallas(
     num_warmup: int = 64,
     beta: float = 1.0,
     pair: bool = False,
+    quad: bool = False,
     interpret: bool = False,
     debug_randoms=None,
 ) -> jax.Array:
@@ -679,6 +755,10 @@ def gibbs_sample_batch_pallas(
     4-state conditionals (semantics = ``gibbs._pair_heat_bath_sweep``) —
     half the sequential sub-steps per sweep; silently ignored when the
     pack geometry fuses only one variable per block (P=128).
+    ``quad=True`` widens to variable QUADRUPLES from their exact 16-state
+    conditionals (semantics = ``gibbs._quad_heat_bath_sweep``) — quarter
+    the sub-steps; silently demoted to pairs when the geometry fuses
+    fewer than 4 variables per block (P=64).
     """
     hot0, _ = default_beta_range(Q)
     beta_t = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), hot0.shape)
@@ -687,7 +767,7 @@ def gibbs_sample_batch_pallas(
         beta_hot = beta_t  # single sweep runs at the target temperature
     logr = jnp.log(beta_t / beta_hot)
     return _run_packed(key, Q, num_reads, num_warmup, beta_hot, logr,
-                       "heatbath", pair=pair, interpret=interpret,
+                       "heatbath", pair=pair, quad=quad, interpret=interpret,
                        debug_randoms=debug_randoms)
 
 

@@ -255,6 +255,103 @@ def test_pair_gibbs_statistics_match_oracle():
     assert np.allclose(emp, np.asarray(pair_m), atol=0.07)
 
 
+def _quad_gibbs_reference_trajectory(Q, init01, uniforms, num_warmup, beta):
+    """Same anneal via gibbs._quad_heat_bath_sweep with the kernel's beta
+    formula."""
+    from qbmx.samplers.gibbs import _quad_heat_bath_sweep
+
+    B = Q.shape[0]
+    hot0, _ = default_beta_range(Q)
+    hot = jnp.minimum(hot0.astype(jnp.float32), jnp.float32(beta))
+    if num_warmup == 1:
+        hot = jnp.full_like(hot, beta)
+    inv_span = np.float32(1.0 / max(num_warmup - 1, 1))
+    out = []
+    for b in range(B):
+        h, J = split_qubo(Q[b])
+        s = jnp.asarray(init01[b], jnp.float32)
+        logr = jnp.log(jnp.float32(beta) / hot[b])
+        for t in range(num_warmup):
+            frac = jnp.float32(t) * inv_span
+            bt = hot[b] * jnp.exp(logr * frac)
+            s = _quad_heat_bath_sweep(
+                s, jnp.asarray(uniforms[t, b], jnp.float32), bt, h, J)
+        out.append(np.asarray(s))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize(
+    "n,B,reads,sweeps",
+    [
+        (20, 8, 8, 6),   # block-sweep, P=8, K=16 → 4 quads per block
+        (41, 1, 4, 4),   # n%4=1: trailing single after the last quad
+        (5, 3, 8, 6),    # mask-geometry shape forced onto the block path
+        (7, 2, 8, 5),    # n%4=3: remainder pair + trailing single
+        (10, 2, 8, 4),   # n%4=2: remainder pair
+    ],
+)
+def test_quad_gibbs_trajectories_match_mirror(n, B, reads, sweeps):
+    rng = np.random.default_rng(n * 37 + B)
+    Q, init01, uniforms = _random_problem(rng, B, n, reads, sweeps)
+    got = gibbs_sample_batch_pallas(
+        jax.random.key(0), Q, reads, sweeps, beta=1.0, quad=True,
+        interpret=True, debug_randoms=(init01, uniforms),
+    )
+    want = _quad_gibbs_reference_trajectory(Q, init01, uniforms, sweeps, 1.0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_quad_gibbs_statistics_match_oracle():
+    """Quad-Gibbs preserves the Boltzmann distribution: XLA path vs the
+    exact oracle at beta=1 (marginals AND pair moments)."""
+    from qbmx.samplers.gibbs import gibbs_sample
+
+    rng = np.random.default_rng(11)
+    n = 6
+    Q = jnp.asarray(np.triu(rng.uniform(-1, 1, (n, n))), jnp.float32)
+    _, _, marg, pair_m = exact_boltzmann(Q, beta=1.0)
+    s = gibbs_sample(jax.random.key(4), Q, 2048, num_warmup=64, beta=1.0,
+                     quad=True)
+    assert np.allclose(np.asarray(s).mean(axis=0), np.asarray(marg), atol=0.05)
+    emp = np.einsum("mi,mj->ij", np.asarray(s), np.asarray(s)) / s.shape[0]
+    assert np.allclose(emp, np.asarray(pair_m), atol=0.07)
+
+
+def test_quad_sampler_flag_routes(monkeypatch):
+    """GibbsSampler(quad_updates=True) passes quad to the kernel route and
+    to the XLA fallback; the default keeps pairs."""
+    import qbmx.samplers.api as api_mod
+    import qbmx.samplers.sa_pallas as sp
+
+    from qbmx.samplers.api import GibbsSampler
+
+    seen = {}
+
+    def spy(key, Q, num_reads, num_warmup=64, beta=1.0, pair=False,
+            quad=False, **kw):
+        seen["kernel"] = (pair, quad)
+        return jnp.zeros((Q.shape[0], num_reads, Q.shape[-1]), jnp.float32)
+
+    monkeypatch.setattr(sp, "gibbs_sample_batch_pallas", spy)
+    Q = jnp.zeros((2, 6, 6), jnp.float32)
+    g = GibbsSampler(num_warmup=4, use_pallas=True, quad_updates=True)
+    g.sample_batch(jax.random.key(0), Q, 8)
+    assert seen["kernel"] == (False, True)
+    g2 = GibbsSampler(num_warmup=4, use_pallas=True)
+    g2.sample_batch(jax.random.key(0), Q, 8)
+    assert seen["kernel"] == (True, False)
+
+    def spy_xla(key, Q, num_reads, num_warmup=32, beta=1.0, pair=False,
+                quad=False):
+        seen["xla"] = (pair, quad)
+        return jnp.zeros((Q.shape[0], num_reads, Q.shape[-1]), jnp.float32)
+
+    monkeypatch.setattr(api_mod._gibbs, "gibbs_sample_batch", spy_xla)
+    g3 = GibbsSampler(num_warmup=4, use_pallas=False, quad_updates=True)
+    g3.sample_batch(jax.random.key(0), Q, 8)
+    assert seen["xla"] == (False, True)
+
+
 def test_bms_pt_routing(monkeypatch):
     """GibbsSampler shares SA's measured routing; PTSampler requires a
     power-of-two ladder dividing the pack and skips the large-batch XLA

@@ -131,6 +131,28 @@ def test_pair_gibbs_kernel_marginals_match_oracle():
         assert np.allclose(s[b].mean(axis=0), np.asarray(marg), atol=0.05), b
 
 
+def test_quad_gibbs_kernel_marginals_match_oracle():
+    """Quad-update heat-bath kernel (four-variable joint conditionals, the
+    16-state categorical + int bit-extraction path) on hardware: same
+    oracle bar.  n=6 exercises a quad + remainder pair; n=9 adds the
+    trailing single."""
+    from qbmx.samplers.exact import exact_boltzmann
+    from qbmx.samplers.sa_pallas import gibbs_sample_batch_pallas
+
+    rng = np.random.default_rng(6)
+    reads, warmup = 2048, 64
+    for n in (6, 9):
+        Q = jnp.asarray(
+            np.stack([np.triu(rng.uniform(-1, 1, (n, n))) for _ in range(4)]),
+            jnp.float32)
+        s = np.asarray(gibbs_sample_batch_pallas(
+            jax.random.key(2), Q, reads, warmup, beta=1.0, quad=True))
+        for b in range(Q.shape[0]):
+            _, _, marg, _ = exact_boltzmann(Q[b], beta=1.0)
+            assert np.allclose(s[b].mean(axis=0), np.asarray(marg),
+                               atol=0.05), (n, b)
+
+
 def test_mosaic_roll_matches_host():
     """The PT exchange step leans on jnp.roll lowering correctly inside the
     kernel (sublane circular shift).  Pin the Mosaic lowering against the
