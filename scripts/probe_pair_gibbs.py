@@ -1,4 +1,4 @@
-"""Hardware A/B: pair-Gibbs vs single-variable heat-bath kernel (real TPU).
+"""Hardware A/B: single vs pair- vs quad-Gibbs heat-bath kernel (real TPU).
 
 Pair updates (``GibbsSampler(pair_updates=True)``) halve the sequential
 sub-step chain per sweep — each fused block resamples consecutive variable
@@ -48,27 +48,39 @@ DEFAULT_SHAPES = [
 ]
 
 
-def timed(pair: bool, Q, reads, warmup, reps=10):
+def timed(mode: str, Q, reads, warmup, reps=10):
+    pair, quad = mode == "pair", mode == "quad"
+
     def run_many(n_reps, base):
         acc = jnp.float32(0)
         for i in range(n_reps):
             acc = acc + gibbs_sample_batch_pallas(
                 jax.random.key(base + i), Q, reads, warmup, 1.0,
-                pair=pair).sum()
+                pair=pair, quad=quad).sum()
         return float(acc)  # one scalar fetch drains the queue
 
     run_many(1, 0)  # compile
-    t0 = time.perf_counter(); run_many(1, 50); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run_many(reps + 1, 100); tn = time.perf_counter() - t0
-    return (tn - t1) / reps
+    # size the burst so queued kernel time dominates the ~40ms RPC fetch
+    # noise (sub-ms kernels at reps=10 measured NEGATIVE in r4 — the
+    # 1-burst baseline's noise transfers through the subtraction)
+    t0 = time.perf_counter(); run_many(8, 20); est = (time.perf_counter() - t0) / 8
+    reps = max(reps, min(400, int(0.8 / max(est, 1e-5))))
+    trials = []
+    for tr in range(3):
+        t0 = time.perf_counter(); run_many(1, 50 + 10 * tr)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run_many(reps + 1, 1000 + 100 * tr)
+        tn = time.perf_counter() - t0
+        trials.append((tn - t1) / reps)
+    return float(np.median(trials))
 
 
-def quality(pair: bool, rng, reads=4096, warmup=64, n=6, B=8):
-    """Mean |marginal - exact| at beta=1 — pair mode must match the
+def quality(mode: str, rng, reads=4096, warmup=64, n=6, B=8):
+    """Mean |marginal - exact| at beta=1 — joint modes must match the
     single-variable chain's agreement with the oracle, not just be fast."""
     Q = random_qubo_batch(rng, B, n)
     s = gibbs_sample_batch_pallas(jax.random.key(7), Q, reads, warmup, 1.0,
-                                  pair=pair)
+                                  pair=mode == "pair", quad=mode == "quad")
     errs = []
     for b in range(B):
         marg = exact_boltzmann(Q[b], beta=1.0)[2]
@@ -81,15 +93,19 @@ def main(shapes):
     print(f"devices: {jax.devices()}")
     for B, n, R, W in shapes:
         Q = random_qubo_batch(rng, B, n)
-        t1 = timed(False, Q, R, W)
-        t2 = timed(True, Q, R, W)
+        t1 = timed("single", Q, R, W)
+        t2 = timed("pair", Q, R, W)
+        t4 = timed("quad", Q, R, W)
         print(f"B={B:5d} n={n:2d} R={R:4d} W={W}:  "
               f"single {t1 * 1e3:7.1f} ms | pair {t2 * 1e3:7.1f} ms | "
-              f"speedup {t1 / t2:4.2f}x", flush=True)
-    q1 = quality(False, rng)
-    q2 = quality(True, rng)
+              f"quad {t4 * 1e3:7.1f} ms | "
+              f"pair {t1 / t2:4.2f}x | quad {t1 / t4:4.2f}x | "
+              f"quad/pair {t2 / t4:4.2f}x", flush=True)
+    q1 = quality("single", rng)
+    q2 = quality("pair", rng)
+    q4 = quality("quad", rng)
     print(f"oracle agreement (mean |marg err|, n=6 beta=1): "
-          f"single {q1:.4f} | pair {q2:.4f}")
+          f"single {q1:.4f} | pair {q2:.4f} | quad {q4:.4f}")
 
 
 if __name__ == "__main__":
