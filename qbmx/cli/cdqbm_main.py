@@ -29,6 +29,12 @@ def main(
     seed_sweep=None, reinit_on_collapse=0, learn_penalty=False,
     checkpoint_every=0, resume="",
 ):
+    if seed_sweep and (resume or checkpoint_every):
+        # same guard as rbm_main: silently ignoring these would lose
+        # checkpoints / retrain from scratch while the user believes the
+        # flags took effect
+        raise ValueError("--resume/--checkpoint_every need the "
+                         "single-model path (omit --seed_sweep)")
     print("Start")
     random.seed(seed)
     np.random.seed(seed)

@@ -98,6 +98,7 @@ def main(args=None):
             if prev_history is not None:
                 rbm.acc_per_epoch_list = list(prev_history.acc_per_epoch)
                 rbm.auc_per_epoch_list = list(prev_history.auc_per_epoch)
+                rbm.nll_per_epoch_list = list(prev_history.nll_per_epoch)
             print(f"Resumed full state from {args.resume} "
                   f"(completed epochs: {start_epoch})")
         rbm.train_rbm(

@@ -12,6 +12,27 @@ from pathlib import Path
 import numpy as np
 
 
+def save_weight_pickle(objs: list, title: str, path: str = "out") -> None:
+    """Write a reference-format weight list pickle (``<path>/<title>.pkl``)
+    — the one save path shared by every model family and the sweeps'
+    best-epoch capture (reference ``MODEL.save_weights``,
+    ``src/model/model_ab.py:33-35``)."""
+    Path(path).mkdir(parents=True, exist_ok=True)
+    with open(f"{path}/{title}.pkl", "wb") as f:
+        pickle.dump(objs, f)
+
+
+def load_weight_pickle(file_path, missing_msg: str = "params file not found"):
+    """Read a weight-list pickle, raising ``FileNotFoundError(missing_msg)``
+    when absent — shared by ``load_params``/``load_savepoint`` across the
+    model families (each rebuilds its own params pytree from the list)."""
+    file_path = Path(file_path)
+    if not file_path.exists():
+        raise FileNotFoundError(missing_msg)
+    with open(file_path, "rb") as f:
+        return pickle.load(f)
+
+
 def pad_rows(x, total: int):
     """Zero-pad axis 0 of a device array up to ``total`` rows — for the
     ragged TAIL chunk of chunked prediction/embedding loops (a second
@@ -63,9 +84,7 @@ class QBMModel(abc.ABC):
         """(predictions, class_probs) for a batch of inputs."""
 
     def save_weights(self, title: str, path: str = "out"):
-        Path(path).mkdir(parents=True, exist_ok=True)
-        with open(f"{path}/{title}.pkl", "wb") as f:
-            pickle.dump(self.weight_objects(), f)
+        save_weight_pickle(self.weight_objects(), title, path)
 
     def predict(self, data):
         preds, _ = self.predict_batch(np.asarray(data)[None])

@@ -32,14 +32,16 @@ Documented deviations from reference bugs:
 from __future__ import annotations
 
 import dataclasses
-import pickle
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.models.base import EpochLaunchMixin, QBMModel, pad_rows
+from qbmx.models.base import (
+    EpochLaunchMixin,
+    QBMModel,
+    load_weight_pickle,
+    pad_rows,
+)
 from qbmx.models.geometry import StackGeometry, patch_index_grid
 from qbmx.samplers.api import Sampler, get_sampler
 
@@ -712,17 +714,10 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             self.learn_penalty, self.prob_penalty,
         )
 
-    def save_weights(self, title, path="out"):
-        Path(path).mkdir(parents=True, exist_ok=True)
-        with open(f"{path}/{title}.pkl", "wb") as f:
-            pickle.dump(self.weight_objects(), f)
+    # save_weights comes from QBMModel (shared pickle-list format)
 
     def load_params(self, file_path):
-        file_path = Path(file_path)
-        if not file_path.exists():
-            raise FileNotFoundError("params file not found")
-        with open(file_path, "rb") as f:
-            loaded = pickle.load(f)
+        loaded = load_weight_pickle(file_path)
         pen = None
         if len(loaded) == 9:  # learn_penalty checkpoints carry a 9th entry
             *loaded, pen_arr = loaded

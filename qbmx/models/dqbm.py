@@ -31,15 +31,13 @@ label-row statistic E[y_o h_j].
 from __future__ import annotations
 
 import dataclasses
-import pickle
-from pathlib import Path
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qbmx.models.base import EpochLaunchMixin, QBMModel
+from qbmx.models.base import EpochLaunchMixin, QBMModel, load_weight_pickle
 from qbmx.samplers.api import Sampler, get_sampler, sampler_sample_groups
 from qbmx.samplers.api import sampler_jit_safe as _jit_safe
 
@@ -500,19 +498,12 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
             self.n_output_nodes, self.restricted,
         )
 
-    def save_weights(self, title, path="out"):
-        Path(path).mkdir(parents=True, exist_ok=True)
-        with open(f"{path}/{title}.pkl", "wb") as f:
-            pickle.dump(self.weight_objects(), f)
+    # save_weights comes from QBMModel (shared pickle-list format)
 
     def load_savepoint(self, savepoint):
         """Load reference-format checkpoints: 5-tuple (restricted) or 6-tuple
         (fully connected), ``src/model/faster_dqbm.py:169-190``."""
-        savepoint = Path(savepoint)
-        if not savepoint.exists():
-            raise FileNotFoundError("Savepoint file not found")
-        with open(savepoint, "rb") as f:
-            loaded = pickle.load(f)
+        loaded = load_weight_pickle(savepoint, "Savepoint file not found")
         if len(loaded) not in (5, 6):
             raise ValueError(f"expected 5- or 6-tuple checkpoint, got {len(loaded)}")
         w_vh, w_vo, b_h, b_o, w_oo = loaded[:5]

@@ -294,6 +294,13 @@ class ClassificationRBM:
         self._chain = None  # persistent (v, y) fantasy particles for PCD
         self.acc_per_epoch_list: list[float] = []
         self.auc_per_epoch_list: list[float] = []
+        # cumulative per-epoch nll — lives on the model (like acc/auc) so
+        # checkpoints written after a resume carry ALIGNED full-history
+        # series, not just the post-resume epochs
+        self.nll_per_epoch_list: list[float] = []
+        # flatline-recovery counter; checkpointed + restored so a resumed
+        # run continues at attempt N+1 instead of re-drawing a consumed basin
+        self._reinit_attempt = 0
 
     def reinit_params(self, attempt: int = 1) -> None:
         """Re-draw parameters and PRNG stream from a fresh deterministic
@@ -333,8 +340,7 @@ class ClassificationRBM:
         x = jnp.asarray(train_x, jnp.float32).reshape(len(train_x), -1)
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
-        loss_list, nll_list = [], []
-        reinit_attempt = 0
+        loss_list, nll_list = [], []  # run-local (the return value)
         is_pcd = self.method == "pcd"
         epoch_fn = None if is_pcd else make_epoch_scan(self._step)
         for epoch_i in range(start_epoch + 1, epochs + 1):
@@ -373,6 +379,7 @@ class ClassificationRBM:
                     )
             loss_list.append(float(mean_loss))
             nll_list.append(float(mean_loss))
+            self.nll_per_epoch_list.append(float(mean_loss))
             if test_x is not None:
                 preds = self.predict(test_x)
                 acc, auc = accuracy_and_auc(np.asarray(test_y), preds)
@@ -384,8 +391,8 @@ class ClassificationRBM:
                     maj = max(float(np.mean(ty == c)) for c in np.unique(ty))
                     window = self.acc_per_epoch_list[-reinit_on_collapse:]
                     if max(window) <= maj + 1e-9:
-                        reinit_attempt += 1
-                        self.reinit_params(attempt=reinit_attempt)
+                        self._reinit_attempt += 1
+                        self.reinit_params(attempt=self._reinit_attempt)
             if (checkpoint_every and checkpoint_path
                     and epoch_i % checkpoint_every == 0):
                 from qbmx.utils.checkpoint import save_checkpoint
@@ -394,7 +401,9 @@ class ClassificationRBM:
                 h = History()
                 h.acc_per_epoch = list(self.acc_per_epoch_list)
                 h.auc_per_epoch = list(self.auc_per_epoch_list)
-                h.nll_per_epoch = list(nll_list)
+                # full cumulative series, index-aligned with acc/auc even
+                # after a resume (nll_list alone holds only this run's epochs)
+                h.nll_per_epoch = list(self.nll_per_epoch_list)
                 save_checkpoint(checkpoint_path, self, h, epoch_i)
         return loss_list, self, nll_list
 
@@ -430,22 +439,14 @@ class ClassificationRBM:
         ]
 
     def save_weights(self, title: str, path: str = "out"):
-        import pickle
-        from pathlib import Path
+        from qbmx.models.base import save_weight_pickle
 
-        Path(path).mkdir(parents=True, exist_ok=True)
-        with open(f"{path}/{title}.pkl", "wb") as f:
-            pickle.dump(self.weight_objects(), f)
+        save_weight_pickle(self.weight_objects(), title, path)
 
     def load_params(self, file_path):
-        import pickle
-        from pathlib import Path
+        from qbmx.models.base import load_weight_pickle
 
-        file_path = Path(file_path)
-        if not file_path.exists():
-            raise FileNotFoundError("params file not found")
-        with open(file_path, "rb") as f:
-            w, vb, hb, cb, cw = pickle.load(f)
+        w, vb, hb, cb, cw = load_weight_pickle(file_path)
         self.params = RBMParams(
             weights=jnp.asarray(w, jnp.float32),
             visible_bias=jnp.asarray(vb, jnp.float32),

@@ -319,7 +319,10 @@ class GibbsSampler:
             lambda k, Q, h: sa_lane.lane_sample_groups(
                 k, Q, h, num_reads, self.num_warmup, rule="heatbath",
                 beta_cold=jnp.full(h.shape[:2], self.beta, dtype=jnp.float32),
-                pair=self.pair_updates is not False),
+                # quad precedence: quad_updates=True demotes to PAIRS here
+                # (no lane quad variant) even when pair_updates=False
+                pair=(self.quad_updates is True
+                      or self.pair_updates is not False)),
         )
 
 

@@ -137,7 +137,10 @@ def train_model(
 
     n = len(train_X)
     num_batches = max(-(-n // batch_size), 1)  # ceil: the ragged tail trains too
-    reinit_attempt = 0
+    # flatline-recovery counter lives ON the model so checkpoints carry it:
+    # a resumed run must continue at attempt N+1, not re-draw the attempt-1
+    # basin that already flatlined (load_checkpoint restores it)
+    reinit_attempt = int(getattr(model, "_reinit_attempt", 0))
 
     def _save_state(path, epoch_done):
         from qbmx.utils.checkpoint import save_checkpoint
@@ -212,6 +215,7 @@ def train_model(
                 maj = max(float(np.mean(vy == c)) for c in np.unique(vy))
                 if max(history.acc_per_epoch[-reinit_on_collapse:]) <= maj + 1e-9:
                     reinit_attempt += 1
+                    model._reinit_attempt = reinit_attempt
                     model.reinit_params(attempt=reinit_attempt)
                     if verbose:
                         print(f"re-initialized flatlined model "

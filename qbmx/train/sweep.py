@@ -133,6 +133,10 @@ class SeedParallelDQBM:
         self.best_params = None
         self.best_metric = np.full(self.S, -np.inf)
         self.best_epoch = np.zeros(self.S, dtype=int)
+        # cumulative epochs over repeated train()/sweep() calls, so a winner
+        # found in a later call gets its TOTAL training epoch, not the
+        # run-local index (the best weights reflect all epochs so far)
+        self._epochs_done = 0
 
     # -- batched computations ------------------------------------------------
 
@@ -319,6 +323,7 @@ class SeedParallelDQBM:
                     if collapsed and verbose:
                         print(f"re-initialized flatlined seeds "
                               f"{[self.seeds[s] for s in collapsed]}")
+        self._epochs_done += epochs
         return histories
 
     def params_for_seed(self, s: int) -> DQBMParams:
@@ -360,14 +365,16 @@ def _snapshot_best(best_params, params, improved: np.ndarray):
 def _track_best(sw, histories, epoch_i: int) -> None:
     """Update ``sw.best_params`` / ``best_metric`` / ``best_epoch`` from
     this epoch's per-seed combined acc/AUC (the reference's model-selection
-    criterion, ``src/model/faster_dqbm.py:1334-1339``)."""
+    criterion, ``src/model/faster_dqbm.py:1334-1339``).  ``epoch_i`` is the
+    run-local index; the recorded best_epoch is cumulative across repeated
+    train() calls (``sw._epochs_done``)."""
     combined = np.asarray(
         [h.combined_acc_auc_per_epoch[-1] for h in histories])
     improved = combined > sw.best_metric
     if not improved.any():
         return
     sw.best_metric = np.where(improved, combined, sw.best_metric)
-    sw.best_epoch = np.where(improved, epoch_i, sw.best_epoch)
+    sw.best_epoch = np.where(improved, sw._epochs_done + epoch_i, sw.best_epoch)
     if sw.best_params is None:
         sw.best_params = sw.params  # first validation: every seed improves
     sw.best_params = _snapshot_best(sw.best_params, sw.params, improved)
@@ -571,6 +578,10 @@ class SeedParallelCDQBM:
         self.best_params = None
         self.best_metric = np.full(self.S, -np.inf)
         self.best_epoch = np.zeros(self.S, dtype=int)
+        # cumulative epochs over repeated train()/sweep() calls, so a winner
+        # found in a later call gets its TOTAL training epoch, not the
+        # run-local index (the best weights reflect all epochs so far)
+        self._epochs_done = 0
 
     def _build_step(self):
         m = self.model
@@ -764,6 +775,7 @@ class SeedParallelCDQBM:
                               f"{[self.seeds[s] for s in collapsed]} "
                               f"(<= majority fraction {maj:.3f} over the "
                               f"last {reinit_on_collapse} epochs)")
+        self._epochs_done += epochs
         return histories
 
     def params_for_seed(self, s: int):
@@ -855,6 +867,10 @@ class SeedParallelRBM:
         self.best_params = None
         self.best_metric = np.full(self.S, -np.inf)
         self.best_epoch = np.zeros(self.S, dtype=int)
+        # cumulative epochs over repeated train()/sweep() calls, so a winner
+        # found in a later call gets its TOTAL training epoch, not the
+        # run-local index (the best weights reflect all epochs so far)
+        self._epochs_done = 0
 
     def _build_sweep(self, n: int, nb: int, bs: int, epochs: int, shuffle: bool):
         from qbmx.models.rbm import predict_proba
@@ -941,7 +957,11 @@ class SeedParallelRBM:
             self.best_params = run_best
         self.best_params = _snapshot_best(self.best_params, run_best, improved)
         self.best_metric = np.where(improved, best_val, self.best_metric)
-        self.best_epoch = np.where(improved, best_e + 1, self.best_epoch)
+        # cumulative epoch number: a winner from a second sweep() call has
+        # trained for _epochs_done + best_e + 1 epochs total
+        self.best_epoch = np.where(
+            improved, self._epochs_done + best_e + 1, self.best_epoch)
+        self._epochs_done += epochs
         return acc_lists, auc_lists
 
     def best_params_for_seed(self, s: int):

@@ -40,6 +40,10 @@ def save_checkpoint(path, model, history: History | None = None, epoch: int = 0)
         "epoch": int(epoch),
         "history": dataclasses.asdict(history) if history is not None else None,
         "model_class": type(model).__name__,
+        # flatline-recovery counter (reinit_on_collapse): without it a
+        # resumed run would re-derive fold_in(key(seed), 1) — the exact
+        # init basin that already flatlined before the checkpoint
+        "reinit_attempt": int(getattr(model, "_reinit_attempt", 0)),
     }
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -71,6 +75,7 @@ def load_checkpoint(path, model) -> tuple[History | None, int]:
         new_leaves.append(jnp.asarray(arr))
     model.params = jax.tree_util.tree_unflatten(treedef, new_leaves)
     model.key = jax.random.wrap_key_data(jnp.asarray(data["rng_key"]))
+    model._reinit_attempt = int(saved_meta.get("reinit_attempt", 0))
 
     meta = json.loads(bytes(data["meta_json"]).decode())
     history = None

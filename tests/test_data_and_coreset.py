@@ -271,6 +271,17 @@ class TestReviewRegressions:
         )
         assert 0.0 <= acc <= 1.0
 
+    def test_cdqbm_main_rejects_seed_sweep_with_resume_flags(self):
+        """--resume/--checkpoint_every were silently ignored under
+        --seed_sweep (VERDICT r4 review): the run trained with NO
+        checkpoints / retrained from scratch.  Now it raises like
+        rbm_main's --seed_parallel guard."""
+        from qbmx.cli.cdqbm_main import main
+
+        for kw in ({"checkpoint_every": 5}, {"resume": "state.npz"}):
+            with pytest.raises(ValueError, match="single-model path"):
+                main(seed=1, data_set="synthetic", seed_sweep=[1, 2], **kw)
+
     def test_load_dataset_respects_num_classes(self):
         from qbmx.cli._common import load_dataset
 

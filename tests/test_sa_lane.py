@@ -226,6 +226,36 @@ def test_sample_groups_fallback_matches_dense():
             np.asarray(grp), np.asarray(flat.reshape(G, B, R, n)))
 
 
+def test_quad_updates_demote_to_pairs_on_lane_route(monkeypatch):
+    """``GibbsSampler(quad_updates=True, pair_updates=False)`` must run
+    PAIRS on the lane route (quad takes precedence over pair_updates and
+    demotes to pairs there — no lane quad variant), never single-variable
+    sweeps (VERDICT r4 review: the old expression dropped to singles)."""
+    import qbmx.samplers.api as api
+    from qbmx.samplers import sa_lane as sl
+
+    captured = {}
+
+    def fake_lane(key, Qg, h_extra, num_reads, warmup, **kw):
+        captured.update(kw)
+        G, B = h_extra.shape[:2]
+        return jnp.zeros((G, B, num_reads, Qg.shape[-1]))
+
+    monkeypatch.setattr(sl, "lane_sample_groups", fake_lane)
+    monkeypatch.setattr(api, "_lane_enabled", lambda *a, **k: True)
+    rng = np.random.default_rng(0)
+    Qg = random_qubo_batch(rng, 2, 6)
+    h_extra = jnp.asarray(rng.normal(size=(2, 3, 6)).astype(np.float32))
+    for sampler, want in [
+        (api.GibbsSampler(quad_updates=True, pair_updates=False), True),
+        (api.GibbsSampler(pair_updates=False), False),
+        (api.GibbsSampler(), True),
+    ]:
+        captured.clear()
+        sampler.sample_groups(jax.random.key(0), Qg, h_extra, 8)
+        assert captured["pair"] is want, (sampler, captured)
+
+
 @pytest.mark.parametrize("G,B,n,reads,sweeps", [(2, 3, 11, 7, 5), (1, 2, 8, 9, 4)])
 def test_pair_debug_matches_xla_pair_sweep(G, B, n, reads, sweeps):
     """Lane pair-Gibbs vs gibbs._pair_heat_bath_sweep, bit-for-bit (same

@@ -441,7 +441,7 @@ class TestBestEpochCapture:
 
         sw = types.SimpleNamespace(
             S=2, best_params=None, best_metric=np.full(2, -np.inf),
-            best_epoch=np.zeros(2, dtype=int),
+            best_epoch=np.zeros(2, dtype=int), _epochs_done=0,
             params={"w": jnp.asarray([[1.0], [10.0]])})
         h0, h1 = History(), History()
         h0.combined_acc_auc_per_epoch.append(0.6)
@@ -458,6 +458,39 @@ class TestBestEpochCapture:
                                       [[2.0], [10.0]])
         np.testing.assert_array_equal(sw.best_epoch, [2, 1])
         np.testing.assert_allclose(sw.best_metric, [0.7, 0.8])
+        # a later train() call (epoch counter restarts at 1) records the
+        # CUMULATIVE epoch for new winners (VERDICT r4 review)
+        sw._epochs_done = 2
+        sw.params = {"w": jnp.asarray([[3.0], [30.0]])}
+        h0.combined_acc_auc_per_epoch.append(0.9)
+        h1.combined_acc_auc_per_epoch.append(0.4)
+        _track_best(sw, [h0, h1], 1)
+        np.testing.assert_array_equal(sw.best_epoch, [3, 1])
+
+    def test_rbm_best_epoch_cumulative_across_sweep_calls(self, rng):
+        """A winner found in a SECOND sweep() call must be labeled with its
+        total training epoch, not the run-local index — its weights reflect
+        all epochs so far."""
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x, y = two_cluster_data(rng, n=48, D=8)
+        tx, ty = two_cluster_data(rng, n=20, D=8)
+        sweep = SeedParallelRBM([11, 12], num_visible=8, num_hidden=3,
+                                learning_rate=0.2)
+        acc1, auc1 = sweep.sweep(x, y, tx, ty, epochs=2, batch_size=12)
+        acc2, auc2 = sweep.sweep(x, y, tx, ty, epochs=2, batch_size=12)
+        # reconstruct the expected global winner per seed: call-2 entries
+        # replace only on strict improvement (matching sweep()'s rule)
+        for s in range(2):
+            comb1 = 0.5 * np.asarray(acc1[s]) + 0.5 * np.asarray(auc1[s])
+            comb2 = 0.5 * np.asarray(acc2[s]) + 0.5 * np.asarray(auc2[s])
+            e1, e2 = int(np.argmax(comb1)), int(np.argmax(comb2))
+            if comb2[e2] > comb1[e1]:
+                expect = 2 + e2 + 1  # cumulative: 2 epochs already done
+            else:
+                expect = e1 + 1
+            assert sweep.best_epoch[s] == expect, (s, sweep.best_epoch[s], expect)
+        assert sweep._epochs_done == 4
 
     def test_dqbm_reload_winner(self, tmp_path, rng):
         from qbmx.train.sweep import SeedParallelDQBM

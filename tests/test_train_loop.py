@@ -223,6 +223,72 @@ class TestFullStateResume:
         _, ep = load_checkpoint(str(tmp_path / "state_crash"), m2)
         assert ep == 2  # last completed epoch
 
+    def test_reinit_attempt_survives_resume(self, tmp_path, rng):
+        """A resumed run must continue the flatline-recovery counter, not
+        re-draw the attempt-1 basin that already flatlined (the checkpoint
+        carries ``_reinit_attempt``)."""
+        from qbmx.samplers.api import SASampler
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x = rng.uniform(0, 1, (12, 4)).astype("float32")
+        y = np.zeros(12, dtype="float32")  # majority fraction 1.0: always stuck
+
+        def mk():
+            return DiscQBM(dim_input=4, n_hidden_nodes=2, seed=0, sample_count=8,
+                           restricted=False,
+                           sampler=SASampler(num_sweeps=4, use_pallas=False))
+
+        mA = mk()
+        ck = str(tmp_path / "state")
+        # lr=0, reinit every epoch: attempts fire at epochs 1 and 2 (never
+        # after the final epoch 3)
+        train_model(mA, x, y, x, y, batch_size=6, learning_rate=0.0, epochs=3,
+                    verbose=False, reinit_on_collapse=1,
+                    checkpoint_every=1, checkpoint_path=ck)
+        assert mA._reinit_attempt == 2
+
+        mB = mk()
+        _, ep = load_checkpoint(ck, mB)
+        assert ep == 3
+        assert mB._reinit_attempt == 2
+        attempts = []
+        orig = mB.reinit_params
+        mB.reinit_params = lambda attempt: (attempts.append(attempt), orig(attempt))
+        train_model(mB, x, y, x, y, batch_size=6, learning_rate=0.0, epochs=5,
+                    verbose=False, reinit_on_collapse=1, start_epoch=ep)
+        # continued run draws attempt 3 next — NOT attempt 1 again
+        assert attempts and attempts[0] == 3
+
+    def test_rbm_checkpoint_nll_aligned_after_resume(self, tmp_path, rng):
+        """Checkpoints written after a resume must carry index-aligned full
+        acc/auc/nll series (nll was run-local before; VERDICT r4 review)."""
+        from qbmx.models.rbm import ClassificationRBM
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x, y = self._data(rng)
+
+        def mk():
+            return ClassificationRBM(num_visible=6, num_hidden=3, seed=3,
+                                     learning_rate=0.1)
+
+        mA = mk()
+        ck1 = str(tmp_path / "s1")
+        mA.train_rbm(x, y, epochs=2, batch_size=8, test_x=x, test_y=y,
+                     checkpoint_every=2, checkpoint_path=ck1)
+        mB = mk()
+        hist, ep = load_checkpoint(ck1, mB)
+        mB.acc_per_epoch_list = list(hist.acc_per_epoch)
+        mB.auc_per_epoch_list = list(hist.auc_per_epoch)
+        mB.nll_per_epoch_list = list(hist.nll_per_epoch)
+        ck2 = str(tmp_path / "s2")
+        mB.train_rbm(x, y, epochs=4, batch_size=8, test_x=x, test_y=y,
+                     checkpoint_every=2, checkpoint_path=ck2, start_epoch=ep)
+        hist2, ep2 = load_checkpoint(ck2, mk())
+        assert ep2 == 4
+        assert len(hist2.acc_per_epoch) == 4
+        assert len(hist2.nll_per_epoch) == 4  # was 2 (post-resume only)
+        assert hist2.nll_per_epoch[:2] == hist.nll_per_epoch
+
     def test_resume_bit_identical_rbm(self, tmp_path, rng):
         import jax
 
