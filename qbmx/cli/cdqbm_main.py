@@ -27,7 +27,7 @@ def main(
     samples_per_class=50, pool_select="min", center_fmap=False,
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
     seed_sweep=None, reinit_on_collapse=0, learn_penalty=False,
-    checkpoint_every=0, resume="",
+    checkpoint_every=0, resume="", qpu_copies=1,
 ):
     if seed_sweep and (resume or checkpoint_every):
         # same guard as rbm_main: silently ignoring these would lose
@@ -76,6 +76,7 @@ def main(
         pool_select=pool_select, center_fmap=center_fmap,
         prob_penalty=prob_penalty, grad_clip=grad_clip,
         learn_penalty=bool(learn_penalty),
+        sampler_kwargs={"copies": qpu_copies} if qpu_copies > 1 else None,
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
@@ -266,6 +267,11 @@ def build_parser():
     p.add_argument("--resume", type=str, default="",
                    help="full-state npz from --checkpoint_every to resume "
                         "from (single-model path only)")
+    p.add_argument("--qpu_copies", type=int, default=1,
+                   help="QPU solvers only: pack this many QUBO replicas per "
+                        "anneal (the reference's parallel-QA trick, "
+                        "src/model/cdqbm.py:794-815); ignored by on-device "
+                        "solvers")
     return p
 
 
@@ -291,4 +297,5 @@ if __name__ == "__main__":
         seed_sweep=flags.seed_sweep, reinit_on_collapse=flags.reinit_on_collapse,
         learn_penalty=flags.learn_penalty,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
+        qpu_copies=flags.qpu_copies,
     )

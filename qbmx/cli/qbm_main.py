@@ -22,7 +22,7 @@ def main(
     beta_eff=1.0, epochs=3, batch_size=10, learning_rate=0.01, restricted=True,
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
     use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
-    reinit_on_collapse=0, checkpoint_every=0, resume="",
+    reinit_on_collapse=0, checkpoint_every=0, resume="", qpu_copies=1,
 ):
     print("Start")
     random.seed(seed)
@@ -51,6 +51,7 @@ def main(
         restricted=restricted, sample_count=sample_count, anneal_steps=anneal,
         beta_eff=beta_eff, use_one_hot_encoding=use_one_hot_encoding,
         load_path=load_path, grad_clip=grad_clip,
+        sampler_kwargs={"copies": qpu_copies} if qpu_copies > 1 else None,
     )
     print("QBM created")
 
@@ -145,6 +146,11 @@ def build_parser():
                    help="full-state npz from --checkpoint_every to resume "
                         "from (restores params, PRNG stream, history, and "
                         "the completed-epoch count)")
+    p.add_argument("--qpu_copies", type=int, default=1,
+                   help="QPU solvers only: pack this many QUBO replicas per "
+                        "anneal (the reference's parallel-QA trick, "
+                        "src/model/faster_dqbm.py:435-501); ignored by "
+                        "on-device solvers")
     return p
 
 
@@ -162,4 +168,5 @@ if __name__ == "__main__":
         load_path=flags.load_path, progress=flags.progress,
         grad_clip=flags.grad_clip, reinit_on_collapse=flags.reinit_on_collapse,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
+        qpu_copies=flags.qpu_copies,
     )

@@ -190,6 +190,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         prob_penalty: float = PROB_POOL_PENALTY,
         grad_clip: float = 0.0,
         learn_penalty: bool = False,
+        sampler_kwargs: dict | None = None,
     ):
         """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
         by default = reference parity).  The exact-enumeration study
@@ -238,7 +239,11 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         self.grad_clip = float(grad_clip)
         self.learn_penalty = bool(learn_penalty)
         self.solver_string = solver
-        self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal)
+        # sampler_kwargs threads solver-specific knobs (e.g. the QPU
+        # adapter's ``copies`` parallel-QA packing) through the registry —
+        # see qbmx/models/dqbm.py for the reference-CLI-reachability rationale.
+        self.sampler = sampler if sampler is not None else get_sampler(
+            solver, num_sweeps=anneal, **(sampler_kwargs or {}))
 
         # static tables
         self.patch_idx = jnp.asarray(patch_index_grid(image_shape, kernel_size, stride))

@@ -268,6 +268,7 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         load_path: str = "",
         use_linear_shortcut: bool = False,
         grad_clip: float = 0.0,
+        sampler_kwargs: dict | None = None,
     ):
         """``use_linear_shortcut``: when the model is restricted, the clamped
         QUBO is diagonal and its ground state is closed-form — skip sampling
@@ -291,7 +292,13 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         self.seed = seed
         self.grad_clip = float(grad_clip)
         self.solver_string = solver
-        self.sampler = sampler if sampler is not None else get_sampler(solver, num_sweeps=anneal_steps)
+        # sampler_kwargs threads solver-specific knobs through the registry
+        # (e.g. ``copies=k`` for the QPU adapter's parallel-QA packing — the
+        # reference reaches get_parallel_qa_samples straight from its CLIs,
+        # ``src/model/faster_dqbm.py:674-679``, so the knob must be
+        # CLI-reachable here too, not constructor-only).
+        self.sampler = sampler if sampler is not None else get_sampler(
+            solver, num_sweeps=anneal_steps, **(sampler_kwargs or {}))
 
         self.key = jax.random.key(seed)
         self.key, init_key = jax.random.split(self.key)

@@ -278,3 +278,48 @@ class TestReplicatedCopies:
     def test_invalid_copies_rejected(self):
         with pytest.raises(ValueError, match="copies"):
             QPUSampler(FakeDimodSampler(), copies=0)
+
+
+class TestCopiesCLIReachability:
+    """The reference reaches parallel QA straight from its CLIs (a D-Wave
+    solver string routes training through ``get_parallel_qa_samples``,
+    ``src/model/faster_dqbm.py:674-679``); qbmx's equivalent knob is
+    ``--qpu_copies`` → ``sampler_kwargs={"copies": k}`` → the registry."""
+
+    def test_parsers_accept_qpu_copies(self):
+        from qbmx.cli import cdqbm_main, qbm_main
+
+        for mod in (qbm_main, cdqbm_main):
+            flags = mod.build_parser().parse_args(["--qpu_copies", "4"])
+            assert flags.qpu_copies == 4
+            assert mod.build_parser().parse_args([]).qpu_copies == 1
+
+    def test_dqbm_threads_sampler_kwargs_to_registry(self, monkeypatch):
+        import qbmx.models.dqbm as dqbm_mod
+
+        seen = {}
+
+        def recorder(solver, num_sweeps=1000, **kw):
+            seen.update(solver=solver, num_sweeps=num_sweeps, **kw)
+            return QPUSampler(FakeDimodSampler(), copies=kw.get("copies", 1))
+
+        monkeypatch.setattr(dqbm_mod, "get_sampler", recorder)
+        m = dqbm_mod.DiscQBM(dim_input=4, n_hidden_nodes=2, anneal_steps=7,
+                             solver="SA", sampler_kwargs={"copies": 3})
+        assert seen == {"solver": "SA", "num_sweeps": 7, "copies": 3}
+        assert m.sampler.copies == 3
+
+    def test_cdqbm_threads_sampler_kwargs_to_registry(self, monkeypatch):
+        import qbmx.models.cdqbm as cdqbm_mod
+
+        seen = {}
+
+        def recorder(solver, num_sweeps=1000, **kw):
+            seen.update(solver=solver, num_sweeps=num_sweeps, **kw)
+            return QPUSampler(FakeDimodSampler(), copies=kw.get("copies", 1))
+
+        monkeypatch.setattr(cdqbm_mod, "get_sampler", recorder)
+        m = cdqbm_mod.CDQBM(image_shape=(6, 6), kernel_size=3, stride=3,
+                            anneal=9, sampler_kwargs={"copies": 2})
+        assert seen == {"solver": "SA", "num_sweeps": 9, "copies": 2}
+        assert m.sampler.copies == 2
