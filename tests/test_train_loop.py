@@ -183,6 +183,49 @@ class TestFullStateResume:
         assert histC.auc_per_epoch == histA.auc_per_epoch
         assert histC.nll_per_batch == histA.nll_per_batch
 
+    def test_resume_bit_identical_cdqbm(self, tmp_path, rng):
+        """Same bit-identity pin for CDQBM (its param pytree carries the
+        conv/seq stack and, with ``learn_penalty``, the per-window penalty
+        vector — the resume must restore every leaf)."""
+        import jax
+
+        from qbmx.models.cdqbm import CDQBM
+        from qbmx.samplers.api import GibbsSampler
+        from qbmx.utils.checkpoint import load_checkpoint
+
+        x = rng.uniform(0, 1, (12, 6, 6)).astype("float32")
+        y = rng.integers(0, 2, 12).astype("float32")
+
+        def mk():
+            return CDQBM(image_shape=(6, 6), kernel_size=3, stride=3,
+                         sequential_layer_sizes=[2], seed=5, sample_count=16,
+                         learn_penalty=True, pooling_size=2,
+                         pooling_type="probabilistic",
+                         sampler=GibbsSampler(num_warmup=4))
+
+        mA = mk()
+        histA = train_model(mA, x, y, x, y, batch_size=6, learning_rate=0.2,
+                            epochs=4, verbose=False)
+
+        mB = mk()
+        ck = str(tmp_path / "state")
+        train_model(mB, x, y, x, y, batch_size=6, learning_rate=0.2,
+                    epochs=2, verbose=False, checkpoint_every=1,
+                    checkpoint_path=ck)
+
+        mC = mk()
+        hist, ep = load_checkpoint(ck, mC)
+        assert ep == 2
+        histC = train_model(mC, x, y, x, y, batch_size=6, learning_rate=0.2,
+                            epochs=4, verbose=False, history=hist,
+                            start_epoch=ep)
+        for a, b in zip(jax.tree.leaves(mA.params), jax.tree.leaves(mC.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            jax.random.key_data(mA.key), jax.random.key_data(mC.key))
+        assert histC.nll_per_epoch == histA.nll_per_epoch
+        assert histC.acc_per_epoch == histA.acc_per_epoch
+
     def test_checkpoint_refuses_wrong_model_class(self, tmp_path, rng):
         from qbmx.models.rbm import ClassificationRBM
         from qbmx.utils.checkpoint import load_checkpoint
