@@ -1,6 +1,11 @@
 """Discriminative RBM CLI — flag-parity entry point for the reference
 ``rbm_main.py`` (argparse ``rbm_main.py:12-30``; fixed 10-seed sweep
-``:32-33``) with per-seed per-epoch acc/auc pickles."""
+``:32-33``) with per-seed per-epoch acc/auc pickles.
+
+Deliberately absent flags: the reference's ``--early-stop``
+(``rbm_main.py:17``) and ``--data-folder`` (``:27``) are parsed but never
+read anywhere in its code (dead flags), and ``--no-cuda`` is
+device-selection the JAX platform config owns — none are reproduced."""
 
 from __future__ import annotations
 
