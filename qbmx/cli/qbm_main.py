@@ -23,7 +23,14 @@ def main(
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
     use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
     reinit_on_collapse=0, checkpoint_every=0, resume="", qpu_copies=1,
+    seed_sweep=None,
 ):
+    if seed_sweep and (resume or checkpoint_every):
+        # same guard as cdqbm_main: silently ignoring these would lose
+        # checkpoints / retrain from scratch while the user believes the
+        # flags took effect
+        raise ValueError("--resume/--checkpoint_every need the "
+                         "single-model path (omit --seed_sweep)")
     print("Start")
     random.seed(seed)
     np.random.seed(seed)
@@ -43,6 +50,20 @@ def main(
         e=epochs, bs=batch_size, l=learning_rate, r=restricted, data=data_set, n_=name,
     )
     print(pstr)
+
+    if seed_sweep:
+        class_titles = (["0", "1"] if num_classes == 2
+                        else [str(i) for i in range(num_classes)])
+        return _seed_sweep(
+            seed_sweep, train_X, train_y, test_X, test_y,
+            n_hidden_nodes=n_hidden_nodes, num_classes=num_classes,
+            restricted=restricted, sample_count=sample_count, anneal=anneal,
+            beta_eff=beta_eff, use_one_hot_encoding=use_one_hot_encoding,
+            solver=solver, grad_clip=grad_clip, epochs=epochs,
+            batch_size=batch_size, learning_rate=learning_rate, save=save,
+            name=name, class_titles=class_titles,
+            reinit_on_collapse=reinit_on_collapse,
+        )
 
     print("Creating QBM...")
     dqbm = DiscQBM(
@@ -100,6 +121,55 @@ def main(
     return acc, f1, precision, recall, auc
 
 
+def _seed_sweep(seeds, train_X, train_y, test_X, test_y, *, n_hidden_nodes,
+                num_classes, restricted, sample_count, anneal, beta_eff,
+                use_one_hot_encoding, solver, grad_clip, epochs, batch_size,
+                learning_rate, save, name, class_titles,
+                reinit_on_collapse=0):
+    """All seeds as ONE batched device sweep (``SeedParallelDQBM``) with the
+    cdqbm_main `_seed_sweep` conventions: per-seed per-epoch pickles plus
+    reference-format best-epoch weights under ``best_model/``
+    (``src/model/faster_dqbm.py:1069-1077``)."""
+    import pickle
+    from pathlib import Path
+
+    from qbmx.train.loop import get_best_combined_acc_auc
+    from qbmx.train.sweep import SeedParallelDQBM
+
+    sweep = SeedParallelDQBM(
+        seeds, dim_input=train_X.shape[1], num_classes=num_classes,
+        n_hidden_nodes=n_hidden_nodes, restricted=restricted,
+        sample_count=sample_count, anneal_steps=anneal, beta_eff=beta_eff,
+        use_one_hot_encoding=use_one_hot_encoding, solver=solver,
+        grad_clip=grad_clip,
+    )
+    hists = sweep.train(train_X, train_y, test_X, test_y, epochs=epochs,
+                        batch_size=batch_size, learning_rate=learning_rate,
+                        class_titles=tuple(class_titles), verbose=True,
+                        reinit_on_collapse=reinit_on_collapse)
+    accs, aucs = [], []
+    for s, h in zip(seeds, hists):
+        _, acc, auc, _ = get_best_combined_acc_auc(h)
+        accs.append(acc)
+        aucs.append(auc)
+        if save:
+            out = Path(save)
+            out.mkdir(parents=True, exist_ok=True)
+            with open(out / f"{name}acc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.acc_per_epoch, f)
+            with open(out / f"{name}auc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.auc_per_epoch, f)
+        print(f"seed {s}: best acc {acc:.4f} auc {auc:.4f}")
+    if save:
+        paths = sweep.save_best_models(
+            save, name_fn=lambda s_, e_: f"{name}_se{s_}_e{e_}_best")
+        print(f"best-epoch checkpoints: {len(paths)} pickles under "
+              f"{Path(save) / 'best_model'}")
+    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
+          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
+    return accs, aucs
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="Train/evaluate a flat discriminative QBM.")
     p.add_argument("-hn", "--hnodes", metavar="INT", type=int, default=2,
@@ -146,6 +216,11 @@ def build_parser():
                    help="full-state npz from --checkpoint_every to resume "
                         "from (restores params, PRNG stream, history, and "
                         "the completed-epoch count)")
+    p.add_argument("--seed_sweep", type=int, nargs="+", default=None,
+                   help="train ALL listed seeds as one batched device sweep "
+                        "(qbmx.train.sweep.SeedParallelDQBM) — same "
+                        "conventions as cdqbm_main; writes per-seed "
+                        "per-epoch pickles and best_model/ checkpoints")
     p.add_argument("--qpu_copies", type=int, default=1,
                    help="QPU solvers only: pack this many QUBO replicas per "
                         "anneal (the reference's parallel-QA trick, "
@@ -168,5 +243,5 @@ if __name__ == "__main__":
         load_path=flags.load_path, progress=flags.progress,
         grad_clip=flags.grad_clip, reinit_on_collapse=flags.reinit_on_collapse,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
-        qpu_copies=flags.qpu_copies,
+        qpu_copies=flags.qpu_copies, seed_sweep=flags.seed_sweep,
     )

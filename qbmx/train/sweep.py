@@ -107,6 +107,13 @@ class SeedParallelDQBM:
         self.epoch_segment = int(epoch_segment)
         self.sampler = sampler if sampler is not None else get_sampler(
             solver, num_sweeps=anneal_steps)
+        from qbmx.samplers.api import sampler_jit_safe
+
+        # same guard as SeedParallelCDQBM: the fused sweep step is jitted,
+        # so a host-bound sampler (QPU adapter, native off-CPU) would hit a
+        # tracer error deep inside _build_step instead of a clear message
+        if not sampler_jit_safe(self.sampler):
+            raise ValueError("seed-parallel sweeps need a jit-safe sampler")
 
         # per-seed init streams identical to DiscQBM.__init__
         self.params, self.keys = _seed_streams(

@@ -89,6 +89,28 @@ class TestCLI:
         assert 0.0 <= acc <= 1.0
         assert (tmp_path / "t_result.txt").exists()
 
+    def test_qbm_main_seed_sweep(self, tmp_path):
+        """--seed_sweep on qbm_main mirrors cdqbm_main: one batched device
+        sweep, per-seed pickles, best_model/ checkpoints that reload."""
+        from qbmx.cli.qbm_main import main
+        from qbmx.models.dqbm import DiscQBM
+
+        accs, aucs = main(
+            seed=1, n_hidden_nodes=3, solver="SA", sample_count=32, anneal=20,
+            epochs=1, batch_size=100, learning_rate=0.3, restricted=False,
+            data_set="synthetic", save=str(tmp_path) + "/", name="t",
+            seed_sweep=[11, 22],
+        )
+        assert len(accs) == 2 and all(0.0 <= a <= 1.0 for a in accs)
+        best = sorted((tmp_path / "best_model").glob("*.pkl"))
+        assert len(best) == 2
+        m = DiscQBM(dim_input=784, n_hidden_nodes=3, num_classes=2,
+                    restricted=False, load_path=str(best[0]))
+        assert m.params.w_vh.shape == (785, 3)  # (O + D, H) label rows first
+        for kw in ({"checkpoint_every": 5}, {"resume": "state.npz"}):
+            with pytest.raises(ValueError, match="single-model path"):
+                main(seed=1, data_set="synthetic", seed_sweep=[1, 2], **kw)
+
     def test_cdqbm_main_synthetic(self, tmp_path):
         from qbmx.cli.cdqbm_main import main
 

@@ -292,6 +292,16 @@ class TestSeedParallelCDQBM:
         with pytest.raises(ValueError, match="jit-safe"):
             SeedParallelCDQBM([0], donor)
 
+    def test_dqbm_sweep_rejects_host_bound_sampler(self):
+        from qbmx.train.sweep import SeedParallelDQBM
+
+        class FakeHostSampler:
+            jit_safe = False
+
+        with pytest.raises(ValueError, match="jit-safe"):
+            SeedParallelDQBM([0], dim_input=4, n_hidden_nodes=2,
+                             sampler=FakeHostSampler())
+
     def test_reinit_seeds_replaces_only_listed_rows(self):
         from qbmx.train.sweep import SeedParallelCDQBM
 
