@@ -11,6 +11,11 @@ reproduces the pneumonia config the reference ran on a D-Wave QPU.
 
 Usage: python scripts/qbm_seed_parallel_sweep.py   (TPU)
 Writes: stdout (tee to out/parity/...) — compare mean±std vs PARITY.md §1.
+
+The same sweep is CLI-reachable as ``qbm_main --seed_sweep <seeds...>``
+(arbitrary seed lists, per-seed pickles, best_model/ capture); this script
+remains the parity driver with the measured epoch_segment=16 / sc1000
+configuration baked in.
 """
 
 from __future__ import annotations
