@@ -31,6 +31,11 @@ def main(
         # flags took effect
         raise ValueError("--resume/--checkpoint_every need the "
                          "single-model path (omit --seed_sweep)")
+    if seed_sweep and load_path:
+        # every sweep seed re-derives its own init stream; a loaded
+        # checkpoint would be silently discarded
+        raise ValueError("--load_path needs the single-model path "
+                         "(omit --seed_sweep)")
     print("Start")
     random.seed(seed)
     np.random.seed(seed)

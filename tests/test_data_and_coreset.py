@@ -107,7 +107,8 @@ class TestCLI:
         m = DiscQBM(dim_input=784, n_hidden_nodes=3, num_classes=2,
                     restricted=False, load_path=str(best[0]))
         assert m.params.w_vh.shape == (785, 3)  # (O + D, H) label rows first
-        for kw in ({"checkpoint_every": 5}, {"resume": "state.npz"}):
+        for kw in ({"checkpoint_every": 5}, {"resume": "state.npz"},
+                   {"load_path": "weights.pkl"}):
             with pytest.raises(ValueError, match="single-model path"):
                 main(seed=1, data_set="synthetic", seed_sweep=[1, 2], **kw)
 
