@@ -143,3 +143,49 @@ def save_all(file_path, history, y_true, y_predict, class_titles):
     for suffix, fig in figs.items():
         fig.savefig(str(file_path) + suffix)
         plt.close(fig)
+
+
+def seed_boxplot(groups: dict, title="best-epoch metric per seed",
+                 ylabel="metric", show_plot=False):
+    """Box plot of per-seed best-epoch metrics, one box per experiment group
+    — the reference's multi-seed comparison figure
+    (``src/paper_plots/boxplot_auc.png``, ``breast_box_combined_boxplot.png``;
+    SURVEY §4.1: the sweep pickles exist "for box-plot comparison" but the
+    plotting code was never committed).
+
+    ``groups``: ``{label: [per-seed best values]}`` — e.g. each value
+    ``max(acc_per_epoch)`` of one seed's pickle."""
+    fig, ax = plt.subplots()
+    labels = list(groups)
+    ax.boxplot([np.asarray(groups[k], dtype=float) for k in labels],
+               tick_labels=labels)
+    ax.set_title(title)
+    ax.set_ylabel(ylabel)
+    ax.grid(True, axis="y", alpha=0.3)
+    if show_plot:  # pragma: no cover - interactive
+        plt.show()
+    return fig
+
+
+def seed_boxplot_from_pickles(folders, metric="acc", **kwargs):
+    """Build :func:`seed_boxplot` groups from sweep output folders — each
+    folder is one box, its per-seed ``*{metric}_per_epoch*.pkl`` series
+    (the convention every qbmx sweep writer and the reference share,
+    ``src/model/faster_dqbm.py:1161-1166``) reduced to the best epoch."""
+    import pickle
+    from pathlib import Path
+
+    groups = {}
+    for folder in folders:
+        p = Path(folder)
+        vals = []
+        for f in sorted(p.glob(f"*{metric}_per_epoch*.pkl")):
+            with open(f, "rb") as fh:
+                series = pickle.load(fh)
+            if series:
+                vals.append(max(series))
+        if not vals:
+            raise FileNotFoundError(
+                f"no *{metric}_per_epoch*.pkl with data under {p}")
+        groups[p.name] = vals
+    return seed_boxplot(groups, ylabel=f"best-epoch {metric}", **kwargs)

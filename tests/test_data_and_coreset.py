@@ -405,3 +405,32 @@ class TestCheckpointClassGuard:
 
         with pytest.raises(ValueError, match="saved from"):
             load_checkpoint(tmp_path / "ck", NotADQBM())
+
+
+class TestSeedBoxplot:
+    """The reference's multi-seed box-plot comparison (SURVEY §4.1) — the
+    pickles exist in its tree but the plotting code was never committed;
+    qbmx ships it."""
+
+    def test_boxplot_from_sweep_pickles(self, tmp_path):
+        import pickle
+
+        import matplotlib
+
+        from qbmx.utils.plots import seed_boxplot_from_pickles
+
+        d = tmp_path / "sweepA"
+        d.mkdir()
+        for seed, series in [(1, [0.5, 0.7]), (2, [0.6, 0.65])]:
+            with open(d / f"runacc_per_epoch{seed}.pkl", "wb") as f:
+                pickle.dump(series, f)
+        fig = seed_boxplot_from_pickles([d])
+        assert isinstance(fig, matplotlib.figure.Figure)
+        fig.savefig(tmp_path / "box.png")
+        assert (tmp_path / "box.png").stat().st_size > 0
+
+    def test_boxplot_missing_pickles_raises(self, tmp_path):
+        from qbmx.utils.plots import seed_boxplot_from_pickles
+
+        with pytest.raises(FileNotFoundError, match="per_epoch"):
+            seed_boxplot_from_pickles([tmp_path])
