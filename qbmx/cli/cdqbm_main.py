@@ -110,6 +110,10 @@ def main(
         prev_history, start_epoch = load_checkpoint(resume, qbm)
         print(f"Resumed full state from {resume} "
               f"(completed epochs: {start_epoch})")
+    if checkpoint_every and not save:
+        # checkpoints land under the run folder; with no --save there is
+        # nowhere to write them and the flag would silently no-op
+        raise ValueError("--checkpoint_every needs --save")
     ckpt_path = f"{save}{pstr}/state" if save and checkpoint_every else None
 
     print("Training QBM...")

@@ -305,6 +305,17 @@ class TestReviewRegressions:
             with pytest.raises(ValueError, match="single-model path"):
                 main(seed=1, data_set="synthetic", seed_sweep=[1, 2], **kw)
 
+    def test_checkpoint_every_requires_save(self):
+        """--checkpoint_every with --save '' would silently write nothing
+        (the npz path is derived from the run folder)."""
+        from qbmx.cli.cdqbm_main import main as cmain
+        from qbmx.cli.qbm_main import main as qmain
+
+        with pytest.raises(ValueError, match="needs --save"):
+            qmain(data_set="synthetic", epochs=1, checkpoint_every=1, save="")
+        with pytest.raises(ValueError, match="needs --save"):
+            cmain(data_set="synthetic", epochs=1, checkpoint_every=1, save="")
+
     def test_load_dataset_respects_num_classes(self):
         from qbmx.cli._common import load_dataset
 
