@@ -100,3 +100,37 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
 def param_string(**kw) -> str:
     """Run-identity filename encoding (reference ``qbm_main.py:57-58``)."""
     return "".join(f"_{k}{v}" for k, v in kw.items())
+
+
+def finish_seed_sweep(sweep, seeds, hists, save, name):
+    """Shared tail of every ``--seed_sweep`` CLI path: per-seed best-epoch
+    summary, reference-style per-seed acc/auc pickles
+    (``src/model/faster_dqbm.py:1161-1166``), best-epoch weight pickles
+    under ``best_model/`` (``:1069-1077``), and the mean±std print.
+    Returns ``(accs, aucs)`` — one best-epoch value per seed."""
+    import pickle
+    from pathlib import Path
+
+    from qbmx.train.loop import get_best_combined_acc_auc
+
+    accs, aucs = [], []
+    for s, h in zip(seeds, hists):
+        _, acc, auc, _ = get_best_combined_acc_auc(h)
+        accs.append(acc)
+        aucs.append(auc)
+        if save:
+            out = Path(save)
+            out.mkdir(parents=True, exist_ok=True)
+            with open(out / f"{name}acc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.acc_per_epoch, f)
+            with open(out / f"{name}auc_per_epoch{s}.pkl", "wb") as f:
+                pickle.dump(h.auc_per_epoch, f)
+        print(f"seed {s}: best acc {acc:.4f} auc {auc:.4f}")
+    if save:
+        paths = sweep.save_best_models(
+            save, name_fn=lambda s_, e_: f"{name}_se{s_}_e{e_}_best")
+        print(f"best-epoch checkpoints: {len(paths)} pickles under "
+              f"{Path(save) / 'best_model'}")
+    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
+          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
+    return accs, aucs

@@ -160,11 +160,9 @@ def _seed_sweep(qbm, seeds, train_x, train_y, test_x, test_y, epochs,
                 batch_size, learning_rate, save, name, class_names,
                 reinit_on_collapse=0):
     """All seeds as one batched device sweep (``SeedParallelCDQBM``); per-
-    epoch test metrics per seed, reference-style per-seed pickles."""
-    import pickle
-    from pathlib import Path
-
-    from qbmx.train.loop import get_best_combined_acc_auc
+    epoch test metrics per seed, reference-style per-seed pickles (the
+    shared tail lives in ``_common.finish_seed_sweep``)."""
+    from qbmx.cli._common import finish_seed_sweep
     from qbmx.train.sweep import SeedParallelCDQBM
 
     sweep = SeedParallelCDQBM(seeds, qbm)
@@ -172,29 +170,7 @@ def _seed_sweep(qbm, seeds, train_x, train_y, test_x, test_y, epochs,
                         batch_size=batch_size, learning_rate=learning_rate,
                         class_titles=class_names, verbose=True,
                         reinit_on_collapse=reinit_on_collapse)
-    accs, aucs = [], []
-    for s, h in zip(seeds, hists):
-        _, acc, auc, _ = get_best_combined_acc_auc(h)
-        accs.append(acc)
-        aucs.append(auc)
-        if save:
-            out = Path(save)
-            out.mkdir(parents=True, exist_ok=True)
-            with open(out / f"{name}acc_per_epoch{s}.pkl", "wb") as f:
-                pickle.dump(h.acc_per_epoch, f)
-            with open(out / f"{name}auc_per_epoch{s}.pkl", "wb") as f:
-                pickle.dump(h.auc_per_epoch, f)
-        print(f"seed {s}: best acc {acc:.4f} auc {auc:.4f}")
-    if save:
-        # reference best_model/ layout: each seed's best-epoch weights as a
-        # reloadable pickle (src/model/faster_dqbm.py:1069-1077)
-        paths = sweep.save_best_models(
-            save, name_fn=lambda s_, e_: f"{name}_se{s_}_e{e_}_best")
-        print(f"best-epoch checkpoints: {len(paths)} pickles under "
-              f"{Path(save) / 'best_model'}")
-    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
-          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
-    return accs, aucs
+    return finish_seed_sweep(sweep, seeds, hists, save, name)
 
 
 def build_parser():

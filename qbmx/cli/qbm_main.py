@@ -36,6 +36,12 @@ def main(
         # checkpoint would be silently discarded
         raise ValueError("--load_path needs the single-model path "
                          "(omit --seed_sweep)")
+    if resume and load_path:
+        # both set the initial params: the model loads the savepoint at
+        # construction, then load_checkpoint replaces params AND the PRNG
+        # stream — the savepoint would be a silent no-op
+        raise ValueError("--load_path and --resume both set initial "
+                         "params; pass exactly one")
     print("Start")
     random.seed(seed)
     np.random.seed(seed)
@@ -138,11 +144,9 @@ def _seed_sweep(seeds, train_X, train_y, test_X, test_y, *, n_hidden_nodes,
     """All seeds as ONE batched device sweep (``SeedParallelDQBM``) with the
     cdqbm_main `_seed_sweep` conventions: per-seed per-epoch pickles plus
     reference-format best-epoch weights under ``best_model/``
-    (``src/model/faster_dqbm.py:1069-1077``)."""
-    import pickle
-    from pathlib import Path
-
-    from qbmx.train.loop import get_best_combined_acc_auc
+    (``src/model/faster_dqbm.py:1069-1077``; shared tail in
+    ``_common.finish_seed_sweep``)."""
+    from qbmx.cli._common import finish_seed_sweep
     from qbmx.train.sweep import SeedParallelDQBM
 
     sweep = SeedParallelDQBM(
@@ -156,27 +160,7 @@ def _seed_sweep(seeds, train_X, train_y, test_X, test_y, *, n_hidden_nodes,
                         batch_size=batch_size, learning_rate=learning_rate,
                         class_titles=tuple(class_titles), verbose=True,
                         reinit_on_collapse=reinit_on_collapse)
-    accs, aucs = [], []
-    for s, h in zip(seeds, hists):
-        _, acc, auc, _ = get_best_combined_acc_auc(h)
-        accs.append(acc)
-        aucs.append(auc)
-        if save:
-            out = Path(save)
-            out.mkdir(parents=True, exist_ok=True)
-            with open(out / f"{name}acc_per_epoch{s}.pkl", "wb") as f:
-                pickle.dump(h.acc_per_epoch, f)
-            with open(out / f"{name}auc_per_epoch{s}.pkl", "wb") as f:
-                pickle.dump(h.auc_per_epoch, f)
-        print(f"seed {s}: best acc {acc:.4f} auc {auc:.4f}")
-    if save:
-        paths = sweep.save_best_models(
-            save, name_fn=lambda s_, e_: f"{name}_se{s_}_e{e_}_best")
-        print(f"best-epoch checkpoints: {len(paths)} pickles under "
-              f"{Path(save) / 'best_model'}")
-    print(f"MEAN acc {np.mean(accs):.4f}±{np.std(accs):.4f} "
-          f"auc {np.mean(aucs):.4f}±{np.std(aucs):.4f}")
-    return accs, aucs
+    return finish_seed_sweep(sweep, seeds, hists, save, name)
 
 
 def build_parser():

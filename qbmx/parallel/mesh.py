@@ -225,9 +225,11 @@ def shard_model(model, mesh: Mesh):
     if isinstance(model, dqbm_mod.DiscQBM):
         # the sharded step never takes the restricted linear shortcut (see
         # make_dqbm_sharded_step) — it always fuses both phases as TWO
-        # structured groups, so the epoch-scan decision must probe groups=2
-        # (_sampler_call_groups reads this flag)
-        model.use_linear_shortcut = False
+        # structured groups, so the epoch-scan decision must probe groups=2.
+        # Shadow the probe hook on the INSTANCE rather than rewriting the
+        # user-visible use_linear_shortcut flag (the model's configuration
+        # must survive sharding intact; only the step's route changed)
+        model._sampler_call_groups = lambda: 2
         model._step = make_dqbm_sharded_step(model, mesh)
     elif isinstance(model, cdqbm_mod.CDQBM):
         model._step = make_cdqbm_sharded_step(model, mesh)

@@ -49,8 +49,21 @@ def _qubo_dict(Q: np.ndarray) -> dict:
 
 def _ordered_samples(sampleset, n: int) -> np.ndarray:
     """(reads, n) float32 with columns in variable order 0..n-1 regardless
-    of the sampleset's internal variable ordering."""
+    of the sampleset's internal variable ordering.
+
+    Rows are expanded by ``record.num_occurrences`` when present: real
+    annealers default to ``answer_mode='histogram'``, which aggregates
+    identical reads into unique rows + counts — consuming those rows as-is
+    would both under-deliver reads and BIAS every moment estimate toward
+    rare configurations (each unique row counted once regardless of its
+    multiplicity).  Expansion restores one row per hardware read; read
+    order within the set is immaterial (reads are exchangeable)."""
     rec = np.asarray(sampleset.record.sample, dtype=np.float32)
+    occ = getattr(getattr(sampleset, "record", None), "num_occurrences", None)
+    if occ is not None:
+        occ = np.asarray(occ).astype(np.int64).ravel()
+        if occ.size == rec.shape[0] and (occ != 1).any():
+            rec = np.repeat(rec, occ, axis=0)
     variables = list(getattr(sampleset, "variables", range(n)))
     order = np.argsort(np.asarray(variables))
     return rec[:, order]
@@ -150,10 +163,13 @@ class QPUSampler:
         packed = {(i + c * n, j + c * n): v
                   for c in range(k) for (i, j), v in base.items()}
         hw_reads = -(-num_reads // k)  # ceil
-        rec = self._call(packed, hw_reads, k * n)  # (hw_reads, k*n)
+        rec = self._call(packed, hw_reads, k * n)  # (reads delivered, k*n)
         # de-interleave (split_and_rename_dicts semantics, :399-407):
-        # read r replica c → sample r*k + c, then slice surplus
-        out = rec.reshape(hw_reads, k, n).reshape(hw_reads * k, n)[:num_reads]
+        # read r replica c → sample r*k + c, then slice surplus.  Reshape by
+        # the rows actually delivered, not hw_reads: a sampler may return
+        # more (occurrence-expanded histogram) or fewer than requested
+        got = rec.shape[0]
+        out = rec.reshape(got, k, n).reshape(got * k, n)[:num_reads]
         self.samples_returned += out.shape[0]
         return out
 

@@ -66,6 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qbmx.core.qubo import default_beta_range, split_qubo
+from qbmx.samplers.gibbs import _QUAD_PAIRS
 
 
 def _round_up(x: int, m: int) -> int:
@@ -171,10 +172,11 @@ def _roll_rows(x, shift: int):
     return jnp.roll(x, shift, axis=0)
 
 
-#: quad state index s = b1·8 + b2·4 + b3·2 + b4 (MSB = lowest variable);
-#: intra-quad coupling pairs in lexicographic order — must match
-#: gibbs._QUAD_PAIRS (the CI debug tests lock the two bit-for-bit)
-_QUAD_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+# quad state index s = b1·8 + b2·4 + b3·2 + b4 (MSB = lowest variable);
+# intra-quad coupling pairs in lexicographic order — _QUAD_PAIRS is imported
+# from the XLA oracle (qbmx.samplers.gibbs) so the enumeration CANNOT drift
+# between the two implementations (the CI debug tests additionally lock the
+# sampled states bit-for-bit).
 
 
 def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,

@@ -50,10 +50,12 @@ def _run_epoch_batches(model, train_X, train_Y, batch_size, learning_rate, histo
         xp, yp, mask = _pad_batch(x_batch, y_batch, batch_size)
         try:
             err, nll = model.train_for_one_iteration(xp, yp, learning_rate, mask=mask)
-        except Exception:
+        except BaseException:
             # crash insurance: checkpoint weights + history (including the
             # batches completed before the crash), then re-raise
-            # (reference ``src/model/faster_dqbm.py:1128-1132``)
+            # (reference ``src/model/faster_dqbm.py:1128-1132``).
+            # BaseException, not Exception: Ctrl-C (KeyboardInterrupt) is the
+            # most common way a long run dies and must leave the same state
             history.errors_per_batch.extend(float(e) for e in errs)
             history.nll_per_batch.extend(float(v) for v in nlls)
             if save_folder:
@@ -169,7 +171,7 @@ def train_model(
             # whole epoch in one device computation (scan over batches)
             try:
                 nlls, errs = model.train_epoch(train_X, train_Y, batch_size, learning_rate)
-            except Exception:
+            except BaseException:  # incl. KeyboardInterrupt — see _run_epoch_batches
                 if save_folder:
                     model.save_weights(f"e{epoch}_crash", save_folder)
                     save_history(f"{save_folder}/", history)
@@ -186,7 +188,7 @@ def train_model(
                     model, train_X, train_Y, batch_size, learning_rate, history,
                     save_folder, epoch, progress=progress,
                 )
-            except Exception:
+            except BaseException:  # incl. KeyboardInterrupt — see _run_epoch_batches
                 if checkpoint_path:
                     _save_state(f"{checkpoint_path}_crash", epoch - 1)
                 raise

@@ -305,6 +305,15 @@ class TestReviewRegressions:
             with pytest.raises(ValueError, match="single-model path"):
                 main(seed=1, data_set="synthetic", seed_sweep=[1, 2], **kw)
 
+    def test_resume_conflicts_with_load_path(self):
+        """Both flags set the initial params; the checkpoint load would
+        silently overwrite the just-loaded savepoint (and its PRNG)."""
+        from qbmx.cli.qbm_main import main
+
+        with pytest.raises(ValueError, match="exactly one"):
+            main(data_set="synthetic", epochs=1,
+                 load_path="warm.pkl", resume="state.npz")
+
     def test_checkpoint_every_requires_save(self):
         """--checkpoint_every with --save '' would silently write nothing
         (the npz path is derived from the run folder)."""

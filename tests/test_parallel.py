@@ -401,3 +401,20 @@ class TestShardedGradClip:
         clipped = step_norm(tiny)
         assert unclipped > 10 * tiny  # the toy gradient is far above the clip
         assert clipped <= tiny * 1.01  # lr=1.0: update norm == clipped grad norm
+
+
+class TestShardModelPreservesConfig:
+    def test_linear_shortcut_flag_survives_sharding(self, devices):
+        """shard_model must not rewrite user-visible model configuration: the
+        sharded step never takes the restricted linear shortcut, but that is
+        a property of the installed step (probed via _sampler_call_groups),
+        not a change to what the user configured."""
+        mesh = make_mesh(dp=8, chains=1)
+        model = DiscQBM(dim_input=4, n_hidden_nodes=2, restricted=True,
+                        use_linear_shortcut=True, sample_count=16,
+                        sampler=GibbsSampler(num_warmup=4))
+        assert model.use_linear_shortcut
+        assert model._sampler_call_groups() == 1
+        shard_model(model, mesh)
+        assert model.use_linear_shortcut  # configuration intact
+        assert model._sampler_call_groups() == 2  # probe reflects the step

@@ -323,3 +323,64 @@ class TestCopiesCLIReachability:
                             anneal=9, sampler_kwargs={"copies": 2})
         assert seen == {"solver": "SA", "num_sweeps": 9, "copies": 2}
         assert m.sampler.copies == 2
+
+
+class FakeHistogramSampler:
+    """Aggregates identical reads into unique rows + ``num_occurrences`` —
+    real annealers' DEFAULT ``answer_mode='histogram'`` (the duck-typed
+    fakes above return one row per read, which a raw-mode sampleset does but
+    a production D-Wave call does not)."""
+
+    def __init__(self, p=0.5, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.p = p
+        self.last_raw = None
+
+    def sample_qubo(self, qdict, num_reads=1, **_):
+        n = max(max(i, j) for i, j in qdict) + 1
+        raw = (self.rng.random((num_reads, n)) < self.p).astype(float)
+        self.last_raw = raw
+        uniq, counts = np.unique(raw, axis=0, return_counts=True)
+        ss = FakeSampleSet(uniq, list(range(n)))
+        ss.record.num_occurrences = counts
+        return ss
+
+
+class TestHistogramAnswerMode:
+    """Consuming aggregated samplesets as-is would under-deliver reads AND
+    bias every moment estimate toward rare configurations (each unique row
+    counted once regardless of multiplicity); _ordered_samples expands rows
+    by num_occurrences instead."""
+
+    def test_ordered_samples_expands_occurrences(self):
+        ss = FakeSampleSet([[0.0, 1.0], [1.0, 0.0]], [0, 1])
+        ss.record.num_occurrences = np.asarray([3, 1])
+        out = _ordered_samples(ss, 2)
+        assert out.shape == (4, 2)
+        np.testing.assert_array_equal(
+            out, [[0, 1], [0, 1], [0, 1], [1, 0]])
+
+    def test_single_copy_returns_every_read_with_multiplicity(self):
+        fake = FakeHistogramSampler(p=0.5, seed=3)
+        adapter = QPUSampler(fake)
+        Q = jnp.asarray(np.diag([0.1, -0.2, 0.3]).astype(np.float32))[None]
+        out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 64))
+        assert out.shape == (1, 64, 3)
+        # exact multiset equality with the pre-aggregation draws
+        got = np.sort(out[0].view([("", out.dtype)] * 3).ravel())
+        want = np.sort(
+            fake.last_raw.astype(out.dtype).view([("", out.dtype)] * 3).ravel())
+        np.testing.assert_array_equal(got, want)
+
+    def test_copies_deinterleave_survives_aggregation(self):
+        # p=0 collapses every read to the all-zero row: the histogram has ONE
+        # unique row whose count is the full read budget — without occurrence
+        # expansion the (reads, k, n) de-interleave reshape cannot even run
+        fake = FakeHistogramSampler(p=0.0)
+        adapter = QPUSampler(fake, copies=4)
+        Q = jnp.asarray(np.diag([0.1, 0.2, 0.3]).astype(np.float32))[None]
+        out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 8))
+        assert out.shape == (1, 8, 3)
+        np.testing.assert_array_equal(out, np.zeros((1, 8, 3)))
+        assert adapter.reads_requested == 2  # ceil(8 / 4)
+        assert adapter.samples_returned == 8

@@ -362,3 +362,47 @@ class TestFullStateResume:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert mC.acc_per_epoch_list == mA.acc_per_epoch_list
         assert mC.auc_per_epoch_list == mA.auc_per_epoch_list
+
+
+class TestInterruptInsurance:
+    def test_keyboard_interrupt_writes_crash_state(self, tmp_path):
+        """Ctrl-C is a BaseException: the crash handlers must still write the
+        full-state npz (the most common way a long run dies)."""
+        from qbmx.samplers.api import GibbsSampler
+
+        model = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=7, sample_count=16,
+                        sampler=GibbsSampler(num_warmup=4))
+        calls = {"n": 0}
+
+        def interrupted(x, y, bs, lr):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt
+            return np.zeros(2), np.zeros(2)
+
+        model.train_epoch = interrupted
+        x = np.zeros((8, 3), dtype="float32")
+        y = np.zeros(8, dtype="float32")
+        ck = str(tmp_path / "state")
+        with pytest.raises(KeyboardInterrupt):
+            train_model(model, x, y, batch_size=4, learning_rate=0.1,
+                        epochs=5, verbose=False, checkpoint_every=10,
+                        checkpoint_path=ck)
+        assert (tmp_path / "state_crash.npz").exists()
+
+    def test_keyboard_interrupt_saves_weights_eager_path(self, tmp_path):
+        model = FailingModel()
+
+        def boom(x, y, lr, mask=None):
+            model.calls += 1
+            if model.calls >= 2:
+                raise KeyboardInterrupt
+            return 0.1, 0.5
+
+        model.train_for_one_iteration = boom
+        x = np.zeros((8, 3), dtype="float32")
+        y = np.zeros(8, dtype="float32")
+        with pytest.raises(KeyboardInterrupt):
+            train_model(model, x, y, batch_size=4, learning_rate=0.1, epochs=1,
+                        save_folder=str(tmp_path), verbose=False)
+        assert any("crash" in t for t, _ in model.saved)
