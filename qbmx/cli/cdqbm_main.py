@@ -195,6 +195,12 @@ def build_parser():
     p.add_argument("--hidden_bias_type", type=str, default="shared",
                    help="'shared', 'none', or 'per-unit'")
     p.add_argument("--one_hot", action="store_true")
+    p.add_argument("--parallelize", type=str2bool, default=False,
+                   help="Kept for flag parity with the reference CLI "
+                        "(cdqbm_main.py:212, process-pool chain fan-out / "
+                        "parallel-QA selection); chains always run batched "
+                        "on device here, and the QPU parallel-QA role is "
+                        "--qpu_copies")
     p.add_argument("--kernel_size", type=int, default=3)
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--seq_sizes", type=int, nargs="*", default=[4])
