@@ -34,8 +34,10 @@ def make_mesh(dp: int | None = None, chains: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // chains
-    if dp * chains > n:
-        raise ValueError(f"dp*chains = {dp}*{chains} > {n} devices")
+    if dp < 1 or chains < 1 or dp * chains > n:
+        raise ValueError(
+            f"dp*chains = {dp}*{chains} does not fit {n} device(s) "
+            "(each axis needs at least 1 device)")
     dev_array = np.asarray(devices[: dp * chains]).reshape(dp, chains)
     return Mesh(dev_array, axis_names=("dp", "chains"))
 

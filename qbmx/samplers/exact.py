@@ -40,8 +40,12 @@ def exact_boltzmann(Q: jax.Array, beta: float = 1.0):
     logp = -beta * E
     logp = logp - jax.scipy.special.logsumexp(logp)
     probs = jnp.exp(logp)
-    marginals = probs @ states
-    pair = jnp.einsum("m,mi,mj->ij", probs, states, states)
+    # Oracle moments: explicit highest precision — the default matmul mode
+    # truncates inputs to bf16 (even on CPU), and these marginals gate the
+    # hardware-validation asserts (CLAUDE.md precision invariant).
+    marginals = jnp.matmul(probs, states, precision="highest")
+    pair = jnp.einsum("m,mi,mj->ij", probs, states, states,
+                      precision="highest")
     return states, probs, marginals, pair
 
 

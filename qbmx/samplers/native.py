@@ -101,7 +101,14 @@ class NativeSASampler:
     def sample_batch(self, key, Q, num_reads: int):
         import jax.numpy as jnp
 
-        seed_arr = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
+        # Per-problem (B,) key arrays (the protocol everywhere else, and what
+        # sampler_sample_groups' densify fallback forwards) mix into one
+        # scalar seed exactly like the packed kernel: the C++ engine is
+        # seeded per batch, not per problem, so per-problem stream
+        # reproducibility is not available on this path either.
+        from qbmx.samplers.sa_pallas import _seed_scalar
+
+        seed_arr = _seed_scalar(key).reshape(())
         B, n = Q.shape[0], Q.shape[-1]
 
         if not isinstance(jnp.asarray(Q), jax.core.Tracer) and not isinstance(
