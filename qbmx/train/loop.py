@@ -125,8 +125,10 @@ def train_model(
     written to ``<checkpoint_path>_crash`` next to the reference-style
     weight pickle — but a mid-epoch crash state may sit between epoch
     boundaries (the unrolled-segment launch mutates params per segment),
-    so exact resume is only guaranteed from the periodic end-of-epoch
-    checkpoints; the reference keeps only the weight pickle
+    so the crash file is stamped ``mid_epoch`` and ``load_checkpoint``
+    refuses it unless the caller opts in with ``allow_mid_epoch=True``;
+    exact resume is only guaranteed from the periodic end-of-epoch
+    checkpoints.  The reference keeps only the weight pickle
     (``src/model/faster_dqbm.py:1128-1134``)."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
@@ -144,10 +146,10 @@ def train_model(
     # basin that already flatlined (load_checkpoint restores it)
     reinit_attempt = int(getattr(model, "_reinit_attempt", 0))
 
-    def _save_state(path, epoch_done):
+    def _save_state(path, epoch_done, mid_epoch=False):
         from qbmx.utils.checkpoint import save_checkpoint
 
-        save_checkpoint(path, model, history, epoch_done)
+        save_checkpoint(path, model, history, epoch_done, mid_epoch=mid_epoch)
 
     # whole-epoch launches: lax.scan when the sampler allows it, unrolled
     # segments otherwise (model.train_epoch picks); only the native sampler
@@ -176,7 +178,11 @@ def train_model(
                     model.save_weights(f"e{epoch}_crash", save_folder)
                     save_history(f"{save_folder}/", history)
                 if checkpoint_path:
-                    _save_state(f"{checkpoint_path}_crash", epoch - 1)
+                    # mid_epoch: unrolled-segment launches mutate params per
+                    # segment, so the snapshot may sit between epoch
+                    # boundaries — load_checkpoint refuses it by default
+                    _save_state(f"{checkpoint_path}_crash", epoch - 1,
+                                mid_epoch=True)
                 raise
             history.errors_per_batch.extend(float(e) for e in errs)
             history.nll_per_batch.extend(float(v) for v in nlls)
@@ -190,7 +196,8 @@ def train_model(
                 )
             except BaseException:  # incl. KeyboardInterrupt — see _run_epoch_batches
                 if checkpoint_path:
-                    _save_state(f"{checkpoint_path}_crash", epoch - 1)
+                    _save_state(f"{checkpoint_path}_crash", epoch - 1,
+                                mid_epoch=True)
                 raise
 
         if save_folder:

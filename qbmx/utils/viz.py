@@ -109,18 +109,24 @@ def plot_pack_layout(n: int, batch: int | None = None, reads: int | None = None,
 
 
 def plot_lane_layout(n: int, num_problems: int, num_reads: int,
-                     save_path: str | None = None):
+                     groups: int = 1, save_path: str | None = None):
     """Visualize the lane kernel's geometry decision for a shared-coupling
     shape (companion to :func:`plot_pack_layout` for the round-3 lane
     kernel, ``qbmx.samplers.sa_lane.lane_geometry``): the folded state
     tile (fold·n_pad rows × Lw lanes) with each variable's row slab
     colored, plus the chunk count and the J⊗I_fold VMEM footprint.
 
+    ``groups`` must match the group count the actual call will use: any
+    G > 1 grid double-buffers its blocks under the 16 MiB scoped-VMEM
+    limit, which can shrink the geometry vs the single-program budget
+    (ADVICE r4 — omitting it here showed layouts the kernel won't run).
+
     Returns the figure (None geometry → raises like the kernel would).
     """
     from qbmx.samplers.sa_lane import KVARS, lane_geometry
 
-    n_pad, Lc, C, fold = lane_geometry(n, num_problems, num_reads)
+    n_pad, Lc, C, fold = lane_geometry(n, num_problems, num_reads,
+                                       groups=groups)
     if Lc == 0:
         raise ValueError(f"lane kernel declines n={n} (J tile beyond VMEM)")
     rows = n_pad * fold
@@ -138,7 +144,7 @@ def plot_lane_layout(n: int, num_problems: int, num_reads: int,
     j_mb = 4 * (fold * n_pad) ** 2 / 2**20
     state_mb = 4 * rows * Lw / 2**20
     ax.set_title(
-        f"lane_geometry(n={n}, B={num_problems}, R={num_reads}):\n"
+        f"lane_geometry(n={n}, B={num_problems}, R={num_reads}, G={groups}):\n"
         f"fold {fold} → {rows}×{Lw} state tile per chunk, {C} chunk"
         f"{'s' if C != 1 else ''} (Lc={Lc} lanes), blocks of {KVARS} vars, "
         f"J⊗I{fold} {j_mb:.1f} MB + state {state_mb:.1f} MB VMEM",

@@ -262,8 +262,14 @@ class TestFullStateResume:
         assert (tmp_path / "state_crash.npz").exists()
         from qbmx.utils.checkpoint import load_checkpoint
 
+        # crash snapshots are mid_epoch-stamped: params may already be
+        # partially advanced into the crashed epoch, so loading needs an
+        # explicit opt-in (ADVICE r4)
+        with pytest.raises(ValueError, match="mid-epoch"):
+            load_checkpoint(str(tmp_path / "state_crash"), self._model())
         m2 = self._model()
-        _, ep = load_checkpoint(str(tmp_path / "state_crash"), m2)
+        _, ep = load_checkpoint(str(tmp_path / "state_crash"), m2,
+                                allow_mid_epoch=True)
         assert ep == 2  # last completed epoch
 
     def test_reinit_attempt_survives_resume(self, tmp_path, rng):
