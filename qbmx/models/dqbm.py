@@ -514,6 +514,23 @@ class DiscQBM(EpochLaunchMixin, QBMModel):
         if len(loaded) not in (5, 6):
             raise ValueError(f"expected 5- or 6-tuple checkpoint, got {len(loaded)}")
         w_vh, w_vo, b_h, b_o, w_oo = loaded[:5]
+        # surface config/pickle mismatches here with the knobs that fix them,
+        # instead of as an opaque shape error deep inside the jitted step
+        # (ADVICE r4: reload scripts hardcoding hnodes/restricted)
+        want_vh = (self.n_output_nodes + self.dim_input, self.n_hidden_nodes)
+        got_vh = np.shape(w_vh)
+        if tuple(got_vh) != want_vh:
+            raise ValueError(
+                f"{savepoint}: visible->hidden weights are {tuple(got_vh)} but this "
+                f"model expects {want_vh} (dim_input={self.dim_input}, "
+                f"n_hidden_nodes={self.n_hidden_nodes}, "
+                f"n_output_nodes={self.n_output_nodes}) — construct the model with "
+                "the hyperparameters the pickle was trained with")
+        if len(loaded) == 6 and self.restricted:
+            raise ValueError(
+                f"{savepoint} is a 6-tuple (fully connected, hidden-hidden "
+                "couplings present) but this model is restricted=True — "
+                "pass restricted=False to load it")
         w_hh = loaded[5] if len(loaded) == 6 else np.zeros((self.n_hidden_nodes,) * 2)
         self.params = DQBMParams(
             w_vh=jnp.asarray(w_vh, jnp.float32),

@@ -16,6 +16,7 @@ sampling noise in the predict marginals).
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -35,7 +36,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("folder", help="best_model/ directory of *_best.pkl files")
     ap.add_argument("--data_set", type=str, default="breastmnist")
-    ap.add_argument("--hnodes", type=int, default=5)
+    ap.add_argument("--hnodes", type=int, default=5,
+                    help="must match the sweep config the pickles came from")
+    ap.add_argument("--restricted", action="store_true",
+                    help="pickles from a restricted (5-tuple) sweep")
     ap.add_argument("--sample_count", type=int, default=4000,
                     help="predict reads (marginal noise ~ 1/sqrt(reads))")
     args = ap.parse_args()
@@ -49,13 +53,22 @@ def main():
         raise SystemExit(f"no *_best.pkl under {args.folder}")
     accs = []
     for p in pickles:
-        seed = p.stem.split("_")[1].removeprefix("se")
-        model = DiscQBM(
-            dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
-            seed=0, solver="SA", restricted=False,
-            sample_count=args.sample_count, anneal_steps=1000,
-            load_path=str(p),
-        )
+        # stems vary by writer: sweep scripts emit `_se<seed>_e<N>_best`,
+        # finish_seed_sweep prefixes a run name (`qbm_cli_se<seed>_e<N>_best`)
+        # — match the tail instead of a fixed split position (ADVICE r4)
+        m = re.search(r"_se(\d+)_e\d+_best$", p.stem)
+        seed = m.group(1) if m else p.stem
+        try:
+            model = DiscQBM(
+                dim_input=train_X.shape[1], n_hidden_nodes=args.hnodes,
+                seed=0, solver="SA", restricted=args.restricted,
+                sample_count=args.sample_count, anneal_steps=1000,
+                load_path=str(p),
+            )
+        except ValueError as e:
+            raise SystemExit(
+                f"{p.name}: {e}\n(--hnodes/--restricted must match the sweep "
+                "config the best_model/ pickles were written with)") from e
         preds, _ = model.predict_batch(test_X)
         acc, _, _, _, auc = get_metrics(test_y, preds, ["0", "1"])
         accs.append(acc)

@@ -251,6 +251,20 @@ class TestEndToEnd:
         assert np.allclose(np.asarray(model.params.w_vh), objs[0])
         assert np.allclose(np.asarray(model.params.w_hh), 0.0)
 
+    def test_load_savepoint_rejects_mismatched_config(self, tmp_path):
+        """A pickle from different hyperparameters must fail with a message
+        naming the mismatch, not an opaque shape error inside the jitted
+        step (ADVICE r4: reload scripts hardcoding hnodes/restricted)."""
+        model = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, restricted=False)
+        model.save_weights("ckpt", str(tmp_path))
+        with pytest.raises(ValueError, match="n_hidden_nodes=5"):
+            DiscQBM(dim_input=4, n_hidden_nodes=5, seed=0, restricted=False,
+                    load_path=str(tmp_path / "ckpt.pkl"))
+        # 6-tuple (fully connected) pickle into a restricted model
+        with pytest.raises(ValueError, match="restricted"):
+            DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, restricted=True,
+                    load_path=str(tmp_path / "ckpt.pkl"))
+
 
 class TestOneHotMulticlass:
     def test_three_class_one_hot_learns(self):
