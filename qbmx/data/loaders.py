@@ -164,12 +164,43 @@ def balance_by_undersampling(train_images, train_labels, seed: int = 42):
     return train_images[idx], train_labels[idx]
 
 
-def preprocess_images(train_x, test_x, val_x=None, pca_n_components=None, do_flatten=True):
-    """Flatten (and optionally PCA-project) the splits.
+def resize_images(images, outputshape):
+    """Anti-aliased resize of an (N, H, W[, C]) image stack to
+    ``outputshape`` (H', W') — the capability the reference's
+    ``resize_and_flatten`` documents (16×16 encoding workflows,
+    ``src/data_loader.py:240-252``) but whose actual resize call is
+    commented out (``:228`` — ``outputshape`` is dead there).  Deliberate
+    deviation: here the parameter does what its docstring promises.
+
+    Linear interpolation with anti-aliasing on downsampling (the
+    ``skimage.resize(..., anti_aliasing=True)`` the reference's comment
+    names), via ``jax.image.resize`` batched over N."""
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(images, dtype=np.float32)
+    if a.ndim < 3:
+        raise ValueError(f"resize needs (N, H, W[, C]) images, got {a.shape}")
+    out = jax.image.resize(jnp.asarray(a), (a.shape[0], *outputshape, *a.shape[3:]),
+                           method="linear", antialias=True)
+    return np.asarray(out)
+
+
+def preprocess_images(train_x, test_x, val_x=None, outputshape=None,
+                      pca_n_components=None, do_flatten=True):
+    """Flatten (and optionally resize / PCA-project) the splits.
+
+    ``outputshape=(H', W')`` resizes images before flattening (see
+    :func:`resize_images` for the reference-deviation note — the
+    reference accepts the parameter at ``src/data_loader.py:240`` but its
+    resize is commented out at ``:228``).
 
     Returns (train, test, val) — one consistent ordering (the reference's
     callers disagreed with its signature, SURVEY.md §2c.6).
     """
+    if outputshape is not None:
+        rs = lambda a: resize_images(a, outputshape) if a is not None else None
+        train_x, test_x, val_x = rs(train_x), rs(test_x), rs(val_x)
     flat = lambda a: np.ascontiguousarray(
         np.asarray(a).reshape(len(a), -1)) if a is not None else None
     if do_flatten:

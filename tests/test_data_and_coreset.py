@@ -22,6 +22,29 @@ class TestLoaders:
         assert a.shape == (4, 25) and b.shape == (3, 25) and c.shape == (2, 25)
         assert b[0, 0] == 1.0 and c[0, 0] == 2.0  # (train, test, val) order
 
+    def test_preprocess_outputshape_resizes_before_flatten(self):
+        """The reference accepts ``outputshape`` (``src/data_loader.py:240``)
+        but its resize is commented out (``:228``); qbmx implements the
+        documented 16×16 workflow for real."""
+        tr = np.ones((4, 28, 28), dtype="float32")
+        te = np.zeros((3, 28, 28), dtype="float32")
+        a, b, c = loaders.preprocess_images(tr, te, None, outputshape=(16, 16))
+        assert a.shape == (4, 256) and b.shape == (3, 256) and c is None
+        # interpolation of a constant image is that constant
+        assert np.allclose(a, 1.0, atol=1e-6) and np.allclose(b, 0.0)
+
+    def test_resize_images_antialiased_downsample(self):
+        # 2x2 block pattern downsampled by 2: each output pixel averages
+        # its block neighborhood — values pulled strictly inside (0, 1)
+        img = np.indices((1, 8, 8)).sum(axis=0) % 2
+        out = loaders.resize_images(img.astype("float32"), (4, 4))
+        assert out.shape == (1, 4, 4)
+        assert 0.2 < out.mean() < 0.8
+        # upsample keeps range
+        up = loaders.resize_images(img.astype("float32"), (16, 16))
+        assert up.shape == (1, 16, 16)
+        assert up.min() >= -1e-5 and up.max() <= 1 + 1e-5
+
     def test_binarize(self):
         x = np.asarray([[0.2, 0.7], [0.5, 0.51]])
         assert np.array_equal(loaders.binarize(x), [[0, 1], [0, 1]])
