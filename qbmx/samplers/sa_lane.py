@@ -105,8 +105,15 @@ def lane_geometry(n: int, num_problems: int, num_reads: int,
             lc_single = (_VMEM_SINGLE - j_bytes) // per_lane
             if _round_up(L, lane_q) <= lc_single:
                 return n_pad, _round_up(L, lane_q), 1, fold
-        Lc = max(((_VMEM_MULTI - 2 * j_bytes) // per_lane) // lane_q * lane_q,
-                 lane_q)
+        Lc = ((_VMEM_MULTI - 2 * j_bytes) // per_lane) // lane_q * lane_q
+        if Lc < lane_q:
+            # even ONE lane tile busts the double-buffered budget at this
+            # fold — a smaller fold shrinks J⊗I_fold 4× per step, so fall
+            # through instead of flooring over budget (the old
+            # ``max(…, lane_q)`` floor produced 12–14 MiB working sets the
+            # 11 MiB model forbids — caught by the r5 routing property
+            # sweep, e.g. n=545 fold=2)
+            continue
         if _round_up(L, lane_q) <= Lc:
             return n_pad, _round_up(L, lane_q), 1, fold
         return n_pad, Lc, -(-L // Lc), fold
