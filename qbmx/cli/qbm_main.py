@@ -23,7 +23,7 @@ def main(
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
     use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
     reinit_on_collapse=0, checkpoint_every=0, resume="", qpu_copies=1,
-    seed_sweep=None,
+    seed_sweep=None, track_distribution=False,
 ):
     if seed_sweep and (resume or checkpoint_every):
         # same guard as cdqbm_main: silently ignoring these would lose
@@ -111,9 +111,31 @@ def main(
         save_folder=f"{save}{pstr}" if save else None,
         reinit_on_collapse=reinit_on_collapse, history=prev_history,
         checkpoint_every=checkpoint_every, checkpoint_path=ckpt_path,
-        start_epoch=start_epoch,
+        start_epoch=start_epoch, track_distribution=track_distribution,
     )
     print(f"QBM trained in {time.time() - t0:.1f}s")
+
+    if track_distribution and save and history.distribution_per_epoch:
+        # the bar figure the reference's show_and_save_distribution draws
+        # (src/metrics.py:131-167) over the per-epoch series its History
+        # declares but never fills (src/metrics.py:18)
+        from qbmx.train.loop import output_patterns
+        from qbmx.utils.plots import show_and_save_distribution
+
+        fig = show_and_save_distribution(
+            history.distribution_per_epoch,
+            [f"e{i + 1}" for i in range(len(history.distribution_per_epoch))],
+            f"{save}{pstr}_distribution.png",
+            "Unclamped output distribution per epoch",
+            output_patterns(dqbm), save=True,
+        )
+        try:  # free the figure in long sweeps
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception:
+            pass
+        print(f"Distribution figure: {save}{pstr}_distribution.png")
 
     print("Predict on test data...")
     predictions, _ = dqbm.predict_batch(test_X)
@@ -219,6 +241,10 @@ def build_parser():
                         "anneal (the reference's parallel-QA trick, "
                         "src/model/faster_dqbm.py:435-501); ignored by "
                         "on-device solvers")
+    p.add_argument("--track_distribution", action="store_true",
+                   help="record the unclamped output-node distribution per "
+                        "epoch (History.distribution_per_epoch) and emit the "
+                        "stacked bar figure under --save")
     return p
 
 
@@ -237,4 +263,5 @@ if __name__ == "__main__":
         grad_clip=flags.grad_clip, reinit_on_collapse=flags.reinit_on_collapse,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
         qpu_copies=flags.qpu_copies, seed_sweep=flags.seed_sweep,
+        track_distribution=flags.track_distribution,
     )

@@ -85,6 +85,23 @@ def _pad_batch(x, y, batch_size):
     return xp, yp, mask
 
 
+def output_patterns(model):
+    """All output-node bit patterns a model can emit, as the string keys
+    ``get_result_distribution`` uses: ``["0", "1"]`` for a single binary
+    output node, every length-O bit string for one-hot output blocks."""
+    O = int(getattr(model, "n_output_nodes", 1))
+    if getattr(model, "use_one_hot_encoding", False) and O > 1:
+        import itertools
+
+        return ["".join(bits) for bits in itertools.product("01", repeat=O)]
+    return ["0", "1"]
+
+
+#: examples sampled per epoch for --track_distribution (bounds the extra
+#: unclamped sampling cost; the distribution is an aggregate statistic)
+_DISTRIBUTION_SAMPLE_EXAMPLES = 64
+
+
 def train_model(
     model,
     train_X,
@@ -103,6 +120,7 @@ def train_model(
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
     start_epoch: int = 0,
+    track_distribution: bool = False,
 ) -> History:
     """``progress=True`` draws a tqdm bar over the per-batch loop (only the
     eager path has batch granularity; whole-epoch launches are single
@@ -129,7 +147,15 @@ def train_model(
     refuses it unless the caller opts in with ``allow_mid_epoch=True``;
     exact resume is only guaranteed from the periodic end-of-epoch
     checkpoints.  The reference keeps only the weight pickle
-    (``src/model/faster_dqbm.py:1128-1134``)."""
+    (``src/model/faster_dqbm.py:1128-1134``).
+
+    ``track_distribution`` (flag-gated): per epoch, sample the model's
+    unclamped output-node patterns on (a bounded slice of) the validation
+    inputs and append the empirical distribution over
+    :func:`output_patterns` to ``history.distribution_per_epoch`` — the
+    field the reference's ``History`` declares but never populates
+    (``src/metrics.py:18``); its ``show_and_save_distribution`` bar plot
+    consumes exactly this series."""
     train_X = np.asarray(train_X, dtype="float32")
     train_Y = np.asarray(train_Y)
     epochs = epochs if epochs is not None else getattr(model, "epochs", 1)
@@ -232,6 +258,13 @@ def train_model(
                               f"over the last {reinit_on_collapse} epochs)")
         elif verbose:
             print(f"Epoch {epoch}/{epochs}  nll={epoch_nll / num_batches:.4f}")
+
+        if track_distribution and hasattr(model, "sample_output_patterns"):
+            src = val_X if val_X is not None else train_X
+            pats = model.sample_output_patterns(
+                np.asarray(src[:_DISTRIBUTION_SAMPLE_EXAMPLES], dtype="float32"))
+            history.distribution_per_epoch.append(
+                model.get_result_distribution(pats, output_patterns(model)))
 
         history.error_per_epoch.append(epoch_errors / num_batches)
         history.nll_per_epoch.append(epoch_nll / num_batches)

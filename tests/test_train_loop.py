@@ -48,6 +48,46 @@ class TestCrashInsurance:
             assert pickle.load(f) == [0.1]  # first batch recorded pre-crash
 
 
+class TestDistributionTracking:
+    def test_track_distribution_fills_history(self):
+        """--track_distribution populates History.distribution_per_epoch —
+        the field the reference declares but never fills
+        (src/metrics.py:18) — with one probability vector per epoch."""
+        from qbmx.train.loop import output_patterns
+
+        model = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=9, sample_count=32,
+                        sampler=GibbsSampler(num_warmup=4))
+        x = np.random.default_rng(0).uniform(0, 1, (12, 3)).astype("float32")
+        y = np.asarray([0, 1] * 6, dtype="float32")
+        h = train_model(model, x, y, x, y, batch_size=6, learning_rate=0.1,
+                        epochs=2, verbose=False, track_distribution=True)
+        pats = output_patterns(model)
+        assert pats == ["0", "1"]
+        assert len(h.distribution_per_epoch) == 2
+        for dist in h.distribution_per_epoch:
+            assert len(dist) == len(pats)
+            assert abs(sum(dist) - 1.0) < 1e-6
+            assert all(p >= 0 for p in dist)
+
+    def test_one_hot_patterns_cover_all_bitstrings(self):
+        from qbmx.train.loop import output_patterns
+
+        model = DiscQBM(dim_input=3, num_classes=3, n_hidden_nodes=2, seed=0,
+                        sample_count=8, use_one_hot_encoding=True,
+                        sampler=GibbsSampler(num_warmup=2))
+        pats = output_patterns(model)
+        assert len(pats) == 8 and "010" in pats and len(set(pats)) == 8
+
+    def test_off_by_default(self):
+        model = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=9, sample_count=8,
+                        sampler=GibbsSampler(num_warmup=2))
+        x = np.zeros((6, 3), dtype="float32")
+        y = np.asarray([0, 1] * 3, dtype="float32")
+        h = train_model(model, x, y, batch_size=6, learning_rate=0.1,
+                        epochs=1, verbose=False)
+        assert h.distribution_per_epoch == []
+
+
 class TestHistoryBookkeeping:
     def test_per_seed_pickles_and_best_epoch(self, tmp_path):
         model = DiscQBM(dim_input=3, n_hidden_nodes=2, seed=9, sample_count=16,
