@@ -97,6 +97,21 @@ def load_dataset(data_set: str, seed: int = 42, samples_per_class=None,
     )
 
 
+def qpu_sampler_kwargs(qpu_copies=1, qpu_embedding="first_party",
+                       embedding_cache=""):
+    """Collect the QPU-seam flags into the ``sampler_kwargs`` dict models
+    thread to the registry; ``None`` when every flag is at its default (so
+    on-device solver paths stay byte-identical to earlier rounds)."""
+    kw = {}
+    if qpu_copies > 1:
+        kw["copies"] = qpu_copies
+    if qpu_embedding != "first_party":
+        kw["embedding"] = qpu_embedding
+    if embedding_cache:
+        kw["cache_dir"] = embedding_cache
+    return kw or None
+
+
 def param_string(**kw) -> str:
     """Run-identity filename encoding (reference ``qbm_main.py:57-58``)."""
     return "".join(f"_{k}{v}" for k, v in kw.items())

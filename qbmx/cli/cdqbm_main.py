@@ -11,7 +11,8 @@ import random
 import numpy as np
 from sklearn.metrics import roc_auc_score
 
-from qbmx.cli._common import load_dataset, param_string, str2bool
+from qbmx.cli._common import (load_dataset, param_string, qpu_sampler_kwargs,
+                              str2bool)
 from qbmx.data import loaders
 from qbmx.models.cdqbm import CDQBM
 from qbmx.train.loop import train_model
@@ -28,6 +29,7 @@ def main(
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
     seed_sweep=None, reinit_on_collapse=0, learn_penalty=False,
     checkpoint_every=0, resume="", qpu_copies=1,
+    qpu_embedding="first_party", embedding_cache="",
 ):
     if seed_sweep and (resume or checkpoint_every):
         # same guard as rbm_main: silently ignoring these would lose
@@ -76,7 +78,8 @@ def main(
         pool_select=pool_select, center_fmap=center_fmap,
         prob_penalty=prob_penalty, grad_clip=grad_clip,
         learn_penalty=bool(learn_penalty),
-        sampler_kwargs={"copies": qpu_copies} if qpu_copies > 1 else None,
+        sampler_kwargs=qpu_sampler_kwargs(qpu_copies, qpu_embedding,
+                                          embedding_cache),
     )
     print(f"QBM created (hidden={qbm.geo.n_hidden}, total={qbm.geo.n_total})")
 
@@ -258,6 +261,15 @@ def build_parser():
                         "anneal (the reference's parallel-QA trick, "
                         "src/model/cdqbm.py:794-815); ignored by on-device "
                         "solvers")
+    p.add_argument("--qpu_embedding", choices=["first_party", "composite"],
+                   default="first_party",
+                   help="QPU solvers only: 'first_party' runs qbmx's own "
+                        "cached, partition-aware embedding pipeline "
+                        "(qbmx.embedding); 'composite' delegates to Ocean's "
+                        "EmbeddingComposite")
+    p.add_argument("--embedding_cache", type=str, default="",
+                   help="QPU solvers only: directory for persisted embedding "
+                        "pickles (the reference's src/embeddings/* cache)")
     return p
 
 
@@ -283,5 +295,6 @@ if __name__ == "__main__":
         seed_sweep=flags.seed_sweep, reinit_on_collapse=flags.reinit_on_collapse,
         learn_penalty=flags.learn_penalty,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
-        qpu_copies=flags.qpu_copies,
+        qpu_copies=flags.qpu_copies, qpu_embedding=flags.qpu_embedding,
+        embedding_cache=flags.embedding_cache,
     )

@@ -10,7 +10,8 @@ import time
 
 import numpy as np
 
-from qbmx.cli._common import load_dataset, param_string, str2bool
+from qbmx.cli._common import (load_dataset, param_string, qpu_sampler_kwargs,
+                              str2bool)
 from qbmx.data import loaders
 from qbmx.models.dqbm import DiscQBM
 from qbmx.train.loop import train_model
@@ -23,6 +24,7 @@ def main(
     data_set="mnist", num_classes=2, parallelize=False, save="out/", name="run",
     use_one_hot_encoding=False, load_path="", progress=False, grad_clip=0.0,
     reinit_on_collapse=0, checkpoint_every=0, resume="", qpu_copies=1,
+    qpu_embedding="first_party", embedding_cache="",
     seed_sweep=None, track_distribution=False,
 ):
     if seed_sweep and (resume or checkpoint_every):
@@ -83,7 +85,8 @@ def main(
         restricted=restricted, sample_count=sample_count, anneal_steps=anneal,
         beta_eff=beta_eff, use_one_hot_encoding=use_one_hot_encoding,
         load_path=load_path, grad_clip=grad_clip,
-        sampler_kwargs={"copies": qpu_copies} if qpu_copies > 1 else None,
+        sampler_kwargs=qpu_sampler_kwargs(qpu_copies, qpu_embedding,
+                                          embedding_cache),
     )
     print("QBM created")
 
@@ -241,6 +244,17 @@ def build_parser():
                         "anneal (the reference's parallel-QA trick, "
                         "src/model/faster_dqbm.py:435-501); ignored by "
                         "on-device solvers")
+    p.add_argument("--qpu_embedding", choices=["first_party", "composite"],
+                   default="first_party",
+                   help="QPU solvers only: 'first_party' runs qbmx's own "
+                        "cached, partition-aware embedding pipeline "
+                        "(qbmx.embedding — one search per QUBO structure per "
+                        "run, the reference's src/embedding.py role); "
+                        "'composite' delegates to Ocean's EmbeddingComposite")
+    p.add_argument("--embedding_cache", type=str, default="",
+                   help="QPU solvers only: directory for persisted embedding "
+                        "pickles (the reference's "
+                        "src/embeddings/*/embeddings_*_<H>.pkl cache)")
     p.add_argument("--track_distribution", action="store_true",
                    help="record the unclamped output-node distribution per "
                         "epoch (History.distribution_per_epoch) and emit the "
@@ -262,6 +276,7 @@ if __name__ == "__main__":
         load_path=flags.load_path, progress=flags.progress,
         grad_clip=flags.grad_clip, reinit_on_collapse=flags.reinit_on_collapse,
         checkpoint_every=flags.checkpoint_every, resume=flags.resume,
-        qpu_copies=flags.qpu_copies, seed_sweep=flags.seed_sweep,
+        qpu_copies=flags.qpu_copies, qpu_embedding=flags.qpu_embedding,
+        embedding_cache=flags.embedding_cache, seed_sweep=flags.seed_sweep,
         track_distribution=flags.track_distribution,
     )

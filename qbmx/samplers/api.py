@@ -453,10 +453,21 @@ def get_sampler(solver: str, num_sweeps: int = 1000, **kwargs) -> Sampler:
     if s.startswith("ADVANTAGE") or s.startswith("DW_"):
         # dimod-compatible adapter: works iff the Ocean SDK is installed,
         # otherwise raises with guidance (still no hard dependency).
-        from qbmx.samplers.qpu import QPUSampler
+        # ``embedding="first_party"`` (the default) wraps the RAW structured
+        # sampler and runs qbmx's own cached, partition-aware embedding
+        # pipeline (qbmx.embedding); ``embedding="composite"`` keeps the
+        # r2-era EmbeddingComposite delegation.
+        if kwargs.get("embedding", "first_party") == "composite":
+            from qbmx.samplers.qpu import QPUSampler
 
-        return QPUSampler.from_ocean(solver, token=kwargs.get("token"),
-                                     copies=kwargs.get("copies", 1))
+            return QPUSampler.from_ocean(solver, token=kwargs.get("token"),
+                                         copies=kwargs.get("copies", 1))
+        from qbmx.samplers.qpu import StructuredQPUSampler
+
+        return StructuredQPUSampler.from_ocean(
+            solver, token=kwargs.get("token"), copies=kwargs.get("copies", 1),
+            cache_dir=kwargs.get("cache_dir"),
+            chain_strength=kwargs.get("chain_strength"))
     if s == "FUJITSUDAU":
         raise NotImplementedError(
             f"QPU solver {solver!r}: qbmx is annealer-free by design. Pass any "

@@ -187,3 +187,234 @@ class QPUSampler:
         Qh = np.asarray(Q, dtype=np.float32)
         out = np.stack([self._sample_one(Qh[b], num_reads) for b in range(Qh.shape[0])])
         return jnp.asarray(out)
+
+
+class StructuredQPUSampler(QPUSampler):
+    """QPU adapter that OWNS the embedding seam first-party (VERDICT r4 #1).
+
+    Where :class:`QPUSampler` hands un-embedded QUBOs to a composite
+    sampler (re-paying an embedding search per call), this adapter targets
+    a STRUCTURED sampler — one that only accepts problems already mapped
+    onto its hardware graph (``nodelist``/``edgelist``, the dimod
+    structured-sampler protocol; real ``DWaveSampler`` objects qualify) —
+    and runs the reference's whole embedding pipeline itself via
+    :mod:`qbmx.embedding`:
+
+    * **one embedding search per QUBO structure per training run**, cached
+      in memory and optionally on disk (``cache_dir``) — the reference
+      computes/loads ``embeddings_{clamped,unclamped}_<H>.pkl`` once at
+      model init (``src/model/faster_dqbm.py:152-165``) and qbmx model
+      QUBOs are dense with a fixed size per phase, so the structure key is
+      just (kind, n, copies, chip fingerprint);
+    * **partition-aware ``copies``**: replicas are embedded into DISJOINT
+      chip regions — translated Chimera cell blocks on a declared Chimera
+      topology, else one escalating search per :func:`partition_target`
+      region — instead of asking a composite to embed one k·n-variable
+      block-diagonal monolith (the regime where the reference needed METIS
+      partitioning to succeed, ``src/embedding.py:193-223``).  When fewer
+      than ``copies`` regions embed, the found count is used (the
+      reference's ``lasthope`` fallback, ``src/embedding.py:163-166``);
+    * chain encode/decode per call: couplings split over available
+      couplers, ferromagnetic chain penalty, majority-vote unembedding
+      with chain-break accounting (``chain_break_fraction``).
+
+    ``topology``: ``("chimera", m, n, t)`` or a D-Wave-style properties
+    dict entry; ``None`` reads ``sampler.properties["topology"]`` and
+    falls back to the generic heuristic path for unknown chips (Pegasus
+    included — correct, just a slower first search).
+    """
+
+    def __init__(self, sampler, refresh=None, copies: int = 1,
+                 chain_strength: float | None = None,
+                 cache_dir=None, topology=None, seed: int = 0,
+                 target_adj: dict | None = None, **sample_params):
+        super().__init__(sampler, refresh=refresh, copies=copies,
+                         **sample_params)
+        from qbmx import embedding as emb_mod
+
+        self._emb = emb_mod
+        if target_adj is None:
+            if hasattr(sampler, "adjacency"):
+                target_adj = {int(q): set(map(int, nbrs))
+                              for q, nbrs in sampler.adjacency.items()}
+            elif hasattr(sampler, "edgelist"):
+                target_adj = emb_mod.adjacency_from_edgelist(
+                    sampler.edgelist, getattr(sampler, "nodelist", None))
+            else:
+                raise TypeError(
+                    "StructuredQPUSampler needs a structured sampler "
+                    "(nodelist/edgelist or adjacency) or an explicit "
+                    "target_adj; for composite samplers that embed "
+                    "internally use QPUSampler instead.")
+        self._adj = target_adj
+        self._fp = emb_mod.target_fingerprint(target_adj)
+        self._topology = self._parse_topology(topology, sampler)
+        self.chain_strength = chain_strength
+        self.seed = int(seed)
+        self._cache = emb_mod.EmbeddingCache(cache_dir)
+        #: structure computations performed (cache misses) — the counter the
+        #: ≤1-search-per-structure contract is pinned on
+        self.embedding_searches = 0
+        self._cb_broken = 0  # chain-break accounting (cells disagreed)
+        self._cb_cells = 0
+
+    @staticmethod
+    def _parse_topology(topology, sampler):
+        if topology is None:
+            props = getattr(sampler, "properties", None) or {}
+            topology = props.get("topology")
+        if topology is None:
+            return None
+        if isinstance(topology, dict):
+            if str(topology.get("type", "")).lower() != "chimera":
+                return None  # pegasus/zephyr etc. → generic heuristic path
+            shape = list(topology.get("shape", ()))
+            if len(shape) == 3:
+                return ("chimera", int(shape[0]), int(shape[1]), int(shape[2]))
+            return None
+        kind, *shape = topology
+        if str(kind).lower() != "chimera" or len(shape) != 3:
+            return None
+        return ("chimera", int(shape[0]), int(shape[1]), int(shape[2]))
+
+    @property
+    def chain_break_fraction(self) -> float:
+        """Running fraction of (read, variable) cells whose chain broke."""
+        return self._cb_broken / float(max(self._cb_cells, 1))
+
+    @classmethod
+    def from_ocean(cls, solver_name: str = "Advantage_system4.1",
+                   token: str | None = None, copies: int = 1,
+                   cache_dir=None, **sample_params) -> "StructuredQPUSampler":
+        """Construct around a RAW (structured) ``DWaveSampler`` — no
+        ``EmbeddingComposite``: qbmx performs and caches the embedding."""
+        try:
+            from dwave.system import DWaveSampler
+        except ImportError as e:
+            raise NotImplementedError(
+                f"QPU solver {solver_name!r} needs the Ocean SDK (dwave-system), "
+                "which qbmx deliberately does not depend on. Install it, or pass "
+                "any structured dimod-style sampler to "
+                "StructuredQPUSampler(sampler=...)."
+            ) from e
+
+        def make():
+            kw = {"solver": solver_name}
+            if token:
+                kw["token"] = token
+            return DWaveSampler(**kw)
+
+        adapter = cls(make(), copies=copies, cache_dir=cache_dir, **sample_params)
+        adapter.refresh = lambda: make()
+        return adapter
+
+    # -- embedding lifecycle ---------------------------------------------------
+
+    def _embeddings_for(self, n: int, diag_only: bool) -> list[dict]:
+        kind = "diag" if diag_only else "clique"
+        key = f"{kind}_{n}_x{self.copies}_{self._fp}"
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
+        embs = self._compute_embeddings(n, diag_only)
+        self._cache.put(key, embs)
+        return embs
+
+    def _compute_embeddings(self, n: int, diag_only: bool) -> list[dict]:
+        """One structure computation (counted once however many replicas it
+        places).  Raises when the problem cannot fit the chip at all."""
+        emb_mod = self._emb
+        self.embedding_searches += 1
+        if diag_only:
+            # couplings absent → chains of one qubit; replicas take disjoint
+            # slices of the qubit list
+            qubits = sorted(self._adj)
+            k = max(min(self.copies, len(qubits) // n), 1)
+            if n > len(qubits):
+                raise RuntimeError(
+                    f"cannot embed {n} variables into a {len(qubits)}-qubit chip")
+            embs = [{v: (qubits[c * n + v],) for v in range(n)} for c in range(k)]
+        elif self._topology is not None:
+            _, m, ncols, t = self._topology
+            A = -(-n // t)
+            embs = []
+            for br in range(m // A if A else 0):
+                for bc in range(ncols // A if A else 0):
+                    if len(embs) == self.copies:
+                        break
+                    e = emb_mod.clique_embedding_chimera(
+                        n, m, ncols, t, cell_offset=(br * A, bc * A))
+                    if e is not None:
+                        embs.append(e)
+            if not embs:  # K_n beyond the clique construction → heuristic
+                embs = self._heuristic_embeddings(n)
+        else:
+            embs = self._heuristic_embeddings(n)
+        if not embs:
+            raise RuntimeError(
+                f"could not embed a {n}-variable QUBO into the "
+                f"{len(self._adj)}-qubit target graph (problem oversized "
+                "for this chip)")
+        if len(embs) < self.copies:
+            import warnings
+
+            warnings.warn(
+                f"found embeddings for {len(embs)} of {self.copies} requested "
+                "copies; continuing with fewer parallel replicas "
+                "(reference lasthope semantics)", stacklevel=2)
+        return embs
+
+    def _heuristic_embeddings(self, n: int) -> list[dict]:
+        emb_mod = self._emb
+        clique = [(u, v) for u in range(n) for v in range(u + 1, n)]
+        if self.copies == 1:
+            e = emb_mod.escalating_find_embedding(
+                clique, self._adj, variables=range(n), seed=self.seed)
+            return [e] if e is not None else []
+        regions = emb_mod.partition_target(self._adj, self.copies,
+                                           seed=self.seed)
+        embs = []
+        for i, region in enumerate(regions):
+            e = emb_mod.escalating_find_embedding(
+                clique, emb_mod.subgraph(self._adj, region),
+                variables=range(n), seed=self.seed + i)
+            if e is not None:
+                embs.append(e)
+        if not embs:  # regions too small individually → try the whole chip
+            e = emb_mod.escalating_find_embedding(
+                clique, self._adj, variables=range(n), seed=self.seed)
+            if e is not None:
+                embs.append(e)
+        return embs
+
+    # -- sampling ---------------------------------------------------------------
+
+    def _sample_one(self, Q: np.ndarray, num_reads: int) -> np.ndarray:
+        emb_mod = self._emb
+        n = Q.shape[-1]
+        qdict = _qubo_dict(Q)
+        diag_only = not any(v for (i, j), v in qdict.items() if i != j)
+        embs = self._embeddings_for(n, diag_only)
+        k = min(len(embs), self.copies, num_reads)
+        embs = embs[:k]
+        cs = (self.chain_strength if self.chain_strength is not None
+              else emb_mod.chain_strength_for(qdict))
+        phys: dict = {}
+        for e in embs:
+            phys.update(emb_mod.embed_qubo(qdict, e, self._adj, cs))
+        used = sorted({q for ij in phys for q in ij})
+        col = {q: c for c, q in enumerate(used)}
+        hw_reads = -(-num_reads // k)
+        rec = self._call(phys, hw_reads, len(used))  # (got, n_used), qubit-ordered
+        got = rec.shape[0]
+        logical = []
+        for e in embs:
+            dec, frac = emb_mod.unembed_samples(rec, col, e, n)
+            logical.append(dec)
+            self._cb_broken += int(round(frac * got * n))
+            self._cb_cells += got * n
+        # read-major de-interleave (split_and_rename_dicts semantics,
+        # src/model/faster_dqbm.py:399-407): read r, replica c → sample r*k+c
+        out = np.stack(logical, axis=1).reshape(got * k, n)[:num_reads]
+        self.samples_returned += out.shape[0]
+        return out
