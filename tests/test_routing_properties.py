@@ -35,23 +35,25 @@ from qbmx.samplers.sa_pallas import (
     pack_geometry,
 )
 
-RNG = np.random.default_rng(20260820)
-
 # representative + adversarial shape pool: model shapes (clamped h5..h10,
 # unclamped, CDQBM n=41/245/717), VMEM-edge n, and uniform fill
 NS = sorted(set(
     [1, 2, 3, 5, 6, 9, 10, 16, 41, 64, 100, 245, 400, 717, 1000, 1100, 1190, 1300, 2000]
-    + [int(x) for x in RNG.integers(1, 1400, size=60)]
+    + [int(x) for x in np.random.default_rng(20260820).integers(1, 1400, size=60)]
 ))
 BS = [1, 2, 7, 8, 20, 60, 73, 120, 256, 470, 600, 1200]
 RS = [1, 16, 100, 128, 200, 256, 512, 1000, 1024]
 GS = [1, 2, 3, 4]
 
 
-def _tuples(k=400):
+def _tuples(k=400, seed=0):
+    """Deterministic PER-CALL draw stream: a shared module RNG would make
+    every test's tuples (and any filtered-count assertion) depend on which
+    tests ran before it."""
+    rng = np.random.default_rng(20260820 + seed)
     for _ in range(k):
-        yield (int(RNG.choice(NS)), int(RNG.choice(BS)),
-               int(RNG.choice(RS)), int(RNG.choice(GS)))
+        yield (int(rng.choice(NS)), int(rng.choice(BS)),
+               int(rng.choice(RS)), int(rng.choice(GS)))
 
 
 def _r128(x):
@@ -60,7 +62,7 @@ def _r128(x):
 
 class TestPackGeometryInvariants:
     def test_alignment_and_budgets(self):
-        for n, B, R, _ in _tuples(500):
+        for n, B, R, _ in _tuples(500, seed=1):
             stride, P, N = pack_geometry(n, batch=B, reads=R)
             Rr = _r128(R if R else 128)
             assert stride % 8 == 0 and stride >= n + 1
@@ -87,7 +89,7 @@ class TestPackGeometryInvariants:
         orig = api._on_tpu
         api._on_tpu = lambda: True
         try:
-            for n, B, R, _ in _tuples(400):
+            for n, B, R, _ in _tuples(400, seed=2):
                 probe = jax.ShapeDtypeStruct((B, n, n), jnp.float32)
                 if not api._auto_route_packed(probe, R, None):
                     continue
@@ -103,7 +105,7 @@ class TestPackGeometryInvariants:
 
 class TestLaneGeometryInvariants:
     def test_budget_and_alignment(self):
-        for n, B, R, G in _tuples(500):
+        for n, B, R, G in _tuples(500, seed=3):
             n_pad, Lc, C, fold = lane_geometry(n, B, R, groups=G)
             assert n_pad % 8 == 0 and n_pad >= n
             if Lc == 0:
@@ -126,7 +128,7 @@ class TestLaneGeometryInvariants:
     def test_single_chunk_when_it_fits(self):
         """If all lanes fit one chunk the geometry must not split (C == 1):
         splitting a fitting shape wastes sequential programs."""
-        for n, B, R, G in _tuples(200):
+        for n, B, R, G in _tuples(200, seed=4):
             n_pad, Lc, C, fold = lane_geometry(n, B, R, groups=G)
             if Lc == 0 or C == 1:
                 continue
@@ -180,7 +182,9 @@ class TestScanDecisionMatchesRoute:
         _route_recorder(monkeypatch, record)
         sampler = make_sampler()
         checked = 0
-        for n, B, R, G in _tuples(300):
+        for n, B, R, G in _tuples(2000, seed=7):
+            if checked >= 40:
+                break
             # routing boundaries live at R<=128 vs >128/256 and B>=256;
             # bigger R/n only inflate the stub output arrays
             if n > 128 or B * G > 1400 or R > 256:
@@ -207,7 +211,7 @@ class TestPTPackDivisibility:
         straddling a pack boundary would silently break replica exchange."""
         monkeypatch.setattr(api, "_on_tpu", lambda: True)
         accepted = 0
-        for n, B, R, _ in _tuples(300):
+        for n, B, R, _ in _tuples(300, seed=5):
             for M in (2, 4, 8, 16):
                 s = PTSampler(num_sweeps=4, num_replicas=M)
                 probe = jax.ShapeDtypeStruct((B, n, n), jnp.float32)
