@@ -24,7 +24,8 @@ def main(
     batch_size=3, learning_rate=0.01, restricted=False, data_set="mnist",
     num_classes=2, save="out/", name="run", pooling_size=4,
     pooling_type="deterministic", hidden_bias_type="shared", one_hot=False,
-    sequential_layer_sizes=(4,), kernel_size=3, stride=1, coreset_budget=0,
+    sequential_layer_sizes=(4,), kernel_size=3, stride=1, n_kernels=1,
+    coreset_budget=0,
     samples_per_class=50, pool_select="min", center_fmap=False,
     signed_input=False, prob_penalty=0.8225, grad_clip=0.0, progress=False,
     seed_sweep=None, reinit_on_collapse=0, learn_penalty=False,
@@ -69,7 +70,8 @@ def main(
     print("Creating QBM...")
     qbm = CDQBM(
         image_shape=tuple(image_shape), num_label_nodes=num_label_nodes,
-        seed=seed, kernel_size=kernel_size, pooling_size=pooling_size,
+        seed=seed, kernel_size=kernel_size, n_kernels=n_kernels,
+        pooling_size=pooling_size,
         pooling_type=pooling_type, stride=stride,
         sequential_layer_sizes=list(sequential_layer_sizes),
         is_restricted=bool(restricted), hidden_bias_type=hidden_bias_type,
@@ -205,6 +207,10 @@ def build_parser():
                         "on device here, and the QPU parallel-QA role is "
                         "--qpu_copies")
     p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--n_kernels", type=int, default=1,
+                   help="conv channels (flag-gated capacity extension; the "
+                        "reference has ONE shared kernel, "
+                        "src/model/cdqbm.py:289-381 — 1 = parity)")
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--seq_sizes", type=int, nargs="*", default=[4])
     p.add_argument("--coreset_budget", type=int, default=0,
@@ -287,6 +293,7 @@ if __name__ == "__main__":
         pooling_size=flags.pooling_size, pooling_type=flags.pooling_type,
         hidden_bias_type=flags.hidden_bias_type, one_hot=flags.one_hot,
         sequential_layer_sizes=flags.seq_sizes, kernel_size=flags.kernel_size,
+        n_kernels=flags.n_kernels,
         stride=flags.stride, coreset_budget=flags.coreset_budget,
         samples_per_class=flags.samples_per_class,
         pool_select=flags.pool_select, center_fmap=flags.center_fmap,

@@ -53,12 +53,12 @@ PROB_POOL_PENALTY = 0.8225
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CDQBMParams:
-    kernel: jax.Array  # (k, k)
+    kernel: jax.Array  # (n_kernels, k, k); n_kernels=1 = reference parity
     w_seq: tuple  # per layer: (prev_active, size)
     w_seq_intra: tuple  # per layer: (size, size) strictly upper; zeros if restricted
     w_h2o: jax.Array  # (last_hidden, n_out)
     w_oo: jax.Array  # (n_out, n_out) strictly upper
-    b_conv: jax.Array  # (1,) shared | (num_conv_units,) per-unit | (1,) zeros for "none"
+    b_conv: jax.Array  # (1,) shared | (conv_units_total,) per-unit | (1,) zeros for "none"
     b_seq: jax.Array  # (sum(seq),)
     b_o: jax.Array  # (n_out,)
     # learned per-window probabilistic-pooling penalties (flag-gated
@@ -92,8 +92,8 @@ def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool
         b_conv = u((1,))
     elif hidden_bias_type == "none":
         b_conv = jnp.zeros((1,))
-    else:  # per-unit
-        b_conv = u((geo.num_conv_units,))
+    else:  # per-unit (one bias per conv unit per channel)
+        b_conv = u((geo.conv_units_total,))
 
     pen = None
     if learn_penalty:
@@ -102,7 +102,7 @@ def init_params(key, geo: StackGeometry, hidden_bias_type: str, restricted: bool
         pen = jnp.full((len(geo.pool_windows),), prob_penalty, jnp.float32)
 
     return CDQBMParams(
-        kernel=u((k, k)),
+        kernel=u((geo.n_kernels, k, k)),
         w_seq=tuple(w_seq),
         w_seq_intra=tuple(w_seq_intra),
         w_h2o=u((geo.last_hidden_size, geo.n_out)),
@@ -191,6 +191,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         grad_clip: float = 0.0,
         learn_penalty: bool = False,
         sampler_kwargs: dict | None = None,
+        n_kernels: int = 1,
     ):
         """``pool_select`` / ``center_fmap`` are flag-gated extensions (OFF
         by default = reference parity).  The exact-enumeration study
@@ -211,6 +212,11 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         every other weight (the ROADMAP r2 "per-window learned penalties"
         lead; the exact study showed a single global strength caps the
         architecture).
+        ``n_kernels`` (flag-gated, VERDICT r4 #2) widens the conv layer to
+        that many independent kernels/channels — the capacity lever the
+        reference's single shared k×k kernel never had
+        (``src/model/cdqbm.py:289-381``); 1 = reference parity (pinned by
+        the ref-builder parity tests).
         """
         if pool_select not in ("min", "max", "absmax"):
             raise ValueError(f"unknown pool_select {pool_select!r}")
@@ -222,6 +228,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             pooling_type=pooling_type,
             seq_sizes=tuple(sequential_layer_sizes or []),
             n_out=num_label_nodes,
+            n_kernels=int(n_kernels),
         )
         self.seed = seed
         self.num_classes = num_classes
@@ -281,9 +288,13 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         jax-native ``prepare_context``, ``src/model/inference.py:16-44``)."""
         geo = self.geo
         patches = x_img.reshape(-1)[self.patch_idx]  # (num_conv, k, k)
-        fmap_flat = jnp.einsum("ukl,kl->u", patches, params.kernel, precision="highest")
+        # (C, u) per-channel feature maps, flattened CHANNEL-MAJOR to match
+        # the conv-block variable layout (StackGeometry.pool_windows offsets)
+        fmap = jnp.einsum("ukl,ckl->cu", patches, params.kernel,
+                          precision="highest")
         if self.center_fmap:
-            fmap_flat = fmap_flat - fmap_flat.mean()
+            fmap = fmap - fmap.mean(axis=1, keepdims=True)
+        fmap_flat = fmap.reshape(-1)
         if geo.pooling_type == "deterministic" and geo.has_pooling:
             wf = fmap_flat[self.windows]  # (n_win, p*p)
             if self.pool_select == "max":
@@ -295,7 +306,7 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             amin = jnp.argmin(score, axis=1)
             pooled_idx = self.windows[jnp.arange(self.windows.shape[0]), amin]
         else:
-            pooled_idx = jnp.arange(geo.num_conv_units)
+            pooled_idx = jnp.arange(geo.conv_units_total)
         return fmap_flat, pooled_idx, patches
 
     def _conv_linear_terms(self, params: CDQBMParams, fmap_flat, pooled_idx):
@@ -443,28 +454,33 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         nsh = geo.n_stats_hidden
         sizes, starts = geo.sizes_active, geo.stats_starts
 
-        # conv-unit marginals for kernel/per-unit-bias gradients
+        # conv-unit marginals for kernel/per-unit-bias gradients, laid out
+        # over the FULL channel-major conv grid (inactive det-pooled units
+        # scatter to zero — they are absent from the QUBO, so their
+        # marginal contribution is exactly zero)
         if geo.n_pool_vars:
-            Econv = full[:, : geo.num_conv_units].mean(axis=0)  # all conv units
-            active_patches = patches
+            Econv_full = full[:, : geo.conv_units_total].mean(axis=0)
         else:
-            Econv = E[: geo.n_pooled]  # pooled (or all) conv units
-            active_patches = patches[pooled_idx]
+            Econv_full = jnp.zeros((geo.conv_units_total,)).at[pooled_idx].add(
+                E[: geo.n_pooled])
 
-        g_kernel = jnp.einsum("ukl,u->kl", active_patches, Econv, precision="highest")
+        # per-channel kernel gradient: channel c sees the same patch table,
+        # weighted by its own units' marginals (patch × E[h] accumulation,
+        # reference ``src/train/train.py:188-192``, one kernel per channel)
+        g_kernel = jnp.einsum(
+            "ukl,cu->ckl", patches,
+            Econv_full.reshape(geo.n_kernels, geo.num_conv_units),
+            precision="highest")
 
         if self.hidden_bias_type == "shared":
             # ∂E/∂b_shared = Σ over the conv units the bias actually touches
             # (for probabilistic pooling that is ALL conv units, not the pool
             # variables the reference sums — src/train/train.py:177)
-            g_b_conv = jnp.sum(Econv).reshape(1)
+            g_b_conv = jnp.sum(Econv_full).reshape(1)
         elif self.hidden_bias_type == "none":
             g_b_conv = jnp.zeros_like(params.b_conv)
         else:  # per-unit
-            if geo.n_pool_vars:
-                g_b_conv = Econv
-            else:
-                g_b_conv = jnp.zeros((geo.num_conv_units,)).at[pooled_idx].add(E[: geo.n_pooled])
+            g_b_conv = Econv_full
 
         g_b_seq = E[geo.n_pooled : nsh] if geo.seq_sizes else jnp.zeros((0,))
 
@@ -695,7 +711,9 @@ class CDQBM(EpochLaunchMixin, QBMModel):
         live parameters; sweeps pass per-seed best-epoch snapshots."""
         p = params if params is not None else self.params
         objs = [
-            np.asarray(p.kernel),
+            # n_kernels=1 checkpoints keep the reference's (k, k) kernel
+            # shape; multi-channel models store (C, k, k)
+            np.asarray(p.kernel[0] if self.geo.n_kernels == 1 else p.kernel),
             [np.asarray(w) for w in p.w_seq],
             np.asarray(p.w_h2o),
             np.asarray(p.w_oo),
@@ -728,6 +746,13 @@ class CDQBM(EpochLaunchMixin, QBMModel):
             *loaded, pen_arr = loaded
             pen = jnp.asarray(pen_arr, jnp.float32)
         (kernel, w_seq, w_h2o, w_oo, w_intra, b_conv, b_seq, b_o) = loaded
+        kernel = np.asarray(kernel, np.float32)
+        if kernel.ndim == 2:  # reference-format single-channel checkpoint
+            kernel = kernel[None]
+        if kernel.shape[0] != self.geo.n_kernels:
+            raise ValueError(
+                f"savepoint has {kernel.shape[0]} conv kernel(s) but the "
+                f"model was built with n_kernels={self.geo.n_kernels}")
         self.params = CDQBMParams(
             pen=pen,
             kernel=jnp.asarray(kernel, jnp.float32),

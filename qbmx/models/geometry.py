@@ -76,10 +76,19 @@ class StackGeometry:
     pooling_type: str  # "deterministic" | "probabilistic"
     seq_sizes: tuple[int, ...]
     n_out: int
+    #: conv CHANNELS (flag-gated ``--n_kernels`` extension, VERDICT r4 #2).
+    #: The reference has exactly one shared k×k kernel
+    #: (``src/model/cdqbm.py:289-381``); n_kernels=1 keeps every count,
+    #: slice, and QUBO bit-identical to that.  C>1 stacks C channel copies
+    #: of the conv(+pool) block channel-major ahead of the sequential
+    #: layers: each channel gets its own feature map and pooling windows.
+    n_kernels: int = 1
 
     def __post_init__(self):
         if self.pooling_type not in ("deterministic", "probabilistic"):
             raise ValueError(f"Unknown pooling_type: {self.pooling_type}")
+        if self.n_kernels < 1:
+            raise ValueError(f"n_kernels must be >= 1, got {self.n_kernels}")
 
     @property
     def conv_dim(self):
@@ -87,12 +96,26 @@ class StackGeometry:
 
     @property
     def num_conv_units(self) -> int:
+        """Conv units PER CHANNEL (the patch-grid size)."""
         oh, ow = self.conv_dim
         return oh * ow
 
     @property
+    def conv_units_total(self) -> int:
+        """Conv units across all channels (the conv block's variable count
+        for probabilistic pooling / no pooling)."""
+        return self.n_kernels * self.num_conv_units
+
+    @property
     def pool_windows(self) -> np.ndarray:
-        return build_pool_windows(self.conv_dim, self.pooling_size)
+        """(n_windows, p*p) indices into the CHANNEL-MAJOR conv block:
+        channel c's windows are the base single-channel windows offset by
+        ``c * num_conv_units``."""
+        base = build_pool_windows(self.conv_dim, self.pooling_size)
+        if base.shape[0] == 0 or self.n_kernels == 1:
+            return base
+        return np.concatenate(
+            [base + c * self.num_conv_units for c in range(self.n_kernels)], axis=0)
 
     @property
     def n_windows(self) -> int:
@@ -105,14 +128,14 @@ class StackGeometry:
     @property
     def conv_active(self) -> int:
         if self.pooling_type == "deterministic":
-            return self.n_windows if self.has_pooling else self.num_conv_units
-        return self.num_conv_units
+            return self.n_windows if self.has_pooling else self.conv_units_total
+        return self.conv_units_total
 
     @property
     def n_pooled(self) -> int:
         """Units feeding the first sequential layer (reference
         ``count_pooled_units``, ``src/model/geometry.py:86-92``)."""
-        return self.n_windows if self.has_pooling else self.num_conv_units
+        return self.n_windows if self.has_pooling else self.conv_units_total
 
     @property
     def n_pool_vars(self) -> int:
@@ -174,7 +197,7 @@ class StackGeometry:
     @property
     def stats_drop(self) -> int:
         """Leading sample columns dropped before layer statistics."""
-        return self.num_conv_units if self.n_pool_vars else 0
+        return self.conv_units_total if self.n_pool_vars else 0
 
     @property
     def sizes_active(self) -> tuple[int, ...]:

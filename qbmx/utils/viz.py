@@ -20,7 +20,9 @@ def visualize_architecture(model, save_path: str | None = None):
         ("input", f"{geo.image_shape[0]}×{geo.image_shape[1]}",
          geo.image_shape[0] * geo.image_shape[1]),
         ("conv", f"{geo.conv_dim[0]}×{geo.conv_dim[1]} (k={geo.kernel_size}, "
-         f"s={geo.stride})", geo.num_conv_units),
+         f"s={geo.stride}"
+         + (f", C={geo.n_kernels}" if geo.n_kernels > 1 else "") + ")",
+         geo.conv_units_total),
     ]
     if geo.has_pooling:
         layers.append((f"pool ({geo.pooling_type})",

@@ -435,7 +435,8 @@ class TestPoolSelectFlags:
         import dataclasses as dc
 
         for m in (m_min, m_max, m_abs):
-            m.params = dc.replace(m.params, kernel=jnp.asarray([[1.0, 0.0], [0.0, -2.0]]))
+            m.params = dc.replace(
+                m.params, kernel=jnp.asarray([[[1.0, 0.0], [0.0, -2.0]]]))
         fmap, idx_min, _ = m_min._context(m_min.params, x)
         _, idx_max, _ = m_max._context(m_max.params, x)
         _, idx_abs, _ = m_abs._context(m_abs.params, x)
@@ -606,3 +607,160 @@ def test_prob_penalty_flag_scales_penalty_matrix():
     assert float(m1.prob_penalty) == 0.8225  # parity default
     np.testing.assert_allclose(np.asarray(m2.penalty_hidden),
                                2.0 * np.asarray(m1.penalty_hidden), rtol=1e-6)
+
+
+class TestMultiKernel:
+    """Flag-gated multi-channel conv (``--n_kernels``, VERDICT r4 #2): C
+    independent kernels stack C channel copies of the conv(+pool) block
+    channel-major; n_kernels=1 is reference parity (pinned element-wise by
+    test_ref_builder_parity against the reference's own builder)."""
+
+    def test_geometry_counts(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "deterministic", (3,), 1,
+                            n_kernels=2)
+        assert geo.num_conv_units == 16 and geo.conv_units_total == 32
+        assert geo.n_windows == 8 and geo.conv_active == 8
+        assert geo.n_hidden == 8 + 3
+        geo_p = StackGeometry((6, 6), 3, 1, 2, "probabilistic", (3,), 2,
+                              n_kernels=3)
+        assert geo_p.conv_active == 48 and geo_p.n_pool_vars == 12
+        assert geo_p.stats_drop == 48 and geo_p.sizes_active == (12, 3)
+        with pytest.raises(ValueError, match="n_kernels"):
+            StackGeometry((6, 6), 3, 1, 2, "deterministic", (), 1, n_kernels=0)
+
+    def test_pool_windows_channel_offsets(self):
+        geo = StackGeometry((6, 6), 3, 1, 2, "deterministic", (), 1,
+                            n_kernels=2)
+        w = geo.pool_windows
+        assert w.shape == (8, 4)
+        np.testing.assert_array_equal(w[4:], w[:4] + geo.num_conv_units)
+
+    def _model(self, n_kernels, seed=0, **kw):
+        from qbmx.samplers.api import ExactSampler
+
+        base = dict(image_shape=(5, 5), num_label_nodes=1, kernel_size=2,
+                    pooling_size=2, pooling_type="deterministic",
+                    sequential_layer_sizes=[2], hidden_bias_type="shared",
+                    sample_count=16, sampler=ExactSampler())
+        base.update(kw)
+        return CDQBM(seed=seed, n_kernels=n_kernels, **base)
+
+    def test_identical_kernels_give_identical_channel_blocks(self):
+        import dataclasses as dc
+
+        m = self._model(2)
+        p = dc.replace(m.params, kernel=jnp.stack([m.params.kernel[0]] * 2))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 5)),
+                        jnp.float32)
+        h = np.asarray(m.unclamped_fields(p, x))
+        half = m.geo.conv_active // 2
+        np.testing.assert_allclose(h[:half], h[half : 2 * half], atol=1e-6)
+
+    def test_distinct_kernels_give_distinct_channel_blocks(self):
+        m = self._model(2, seed=4)
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 5)),
+                        jnp.float32)
+        h = np.asarray(m.unclamped_fields(m.params, x))
+        half = m.geo.conv_active // 2
+        assert not np.allclose(h[:half], h[half : 2 * half])
+
+    def test_gradient_matches_autodiff_two_kernels(self):
+        """The C=2 moment-diff gradient with exact samples == autodiff of
+        the true NLL (same contract the single-kernel test pins)."""
+        from qbmx.core.qubo import qubo_energies
+        from qbmx.samplers.api import ExactSampler
+        from qbmx.samplers.exact import enumerate_states
+
+        model = CDQBM(
+            image_shape=(4, 4), num_label_nodes=1, seed=3, kernel_size=3,
+            pooling_size=2, pooling_type="deterministic", n_kernels=2,
+            sequential_layer_sizes=[3], hidden_bias_type="shared",
+            sample_count=8192, sampler=ExactSampler(),
+        )
+        rngl = np.random.default_rng(0)
+        x = jnp.asarray(rngl.uniform(0, 1, (1, 4, 4)), dtype=jnp.float32)
+        y = jnp.asarray([1.0])
+
+        def true_nll(params):
+            Qc = model.clamped_qubo(params, x[0], y)
+            Qu = model.unclamped_qubo(params, x[0])
+            Ec = qubo_energies(Qc, enumerate_states(model.geo.n_hidden))
+            Eu = qubo_energies(Qu, enumerate_states(model.geo.n_total))
+            const = jnp.dot(params.b_o, y) / model.beta_eff
+            logZc = jax.scipy.special.logsumexp(-Ec - const)
+            logZu = jax.scipy.special.logsumexp(-Eu)
+            return -(logZc - logZu)
+
+        import dataclasses as dc
+
+        # scale away from init: at U(-1,1) init the per-channel kernel
+        # gradient (~7e-4) sits below the 8192-sample noise floor (~5e-3),
+        # so a direction check would be a coin flip
+        p = dc.replace(model.params, kernel=3.0 * model.params.kernel,
+                       w_h2o=2.0 * model.params.w_h2o)
+        kc, ku = jax.random.split(jax.random.key(0))
+        yv = jnp.asarray([[1.0]])
+        Qc = jax.vmap(lambda xi, yi: model.clamped_qubo(p, xi, yi))(x, yv)
+        Qu = jax.vmap(lambda xi: model.unclamped_qubo(p, xi))(x)
+        s_c = model.sampler.sample_batch(kc, Qc, 8192)
+        s_u = model.sampler.sample_batch(ku, Qu, 8192)
+        mc = jax.vmap(lambda s, xi, yi: model._moments(p, s, xi, yi))(s_c, x, yv)
+        mu = jax.vmap(lambda s, xi: model._moments(p, s, xi))(s_u, x)
+        diff = jax.tree.map(lambda a, b: (a - b)[0], mc, mu)
+        g_auto = jax.grad(true_nll)(p)
+        for name in ["w_h2o", "b_o", "b_seq", "w_oo", "b_conv"]:
+            a = np.asarray(getattr(diff, name))
+            b = np.asarray(getattr(g_auto, name))
+            assert np.allclose(a, b, atol=0.05), name
+        # per-channel kernel gradients agree in direction (argmin pooling
+        # selection is non-differentiable, as in the single-kernel test)
+        for c in range(2):
+            ka = np.asarray(diff.kernel[c]).ravel()
+            kb = np.asarray(g_auto.kernel[c]).ravel()
+            assert np.dot(ka, kb) > 0, c
+
+    def test_step_updates_both_kernels(self):
+        from qbmx.samplers.api import GibbsSampler
+
+        m = self._model(2, sampler=GibbsSampler(num_warmup=4))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (4, 5, 5)), jnp.float32)
+        y = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+        before = np.asarray(m.params.kernel)
+        assert before.shape[0] == 2
+        new_p, nll, _ = m._step(m.params, x, y, jnp.ones((4,)), 0.3,
+                                jax.random.key(0))
+        after = np.asarray(new_p.kernel)
+        assert not np.allclose(after[0], before[0])
+        assert not np.allclose(after[1], before[1])
+        assert np.isfinite(float(nll))
+
+    def test_checkpoint_roundtrip_and_reference_format(self, tmp_path):
+        # C=2: kernel stored (2, k, k), roundtrips exactly
+        m2 = self._model(2, seed=5)
+        m2.save_weights("c2", str(tmp_path))
+        objs = m2.weight_objects()
+        assert np.asarray(objs[0]).shape == (2, 2, 2)
+        m2b = self._model(2, seed=9)
+        m2b.load_params(str(tmp_path / "c2.pkl"))
+        for a, b in zip(jax.tree.leaves(m2.params), jax.tree.leaves(m2b.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+        # C=1: kernel stored in the REFERENCE's (k, k) shape and reloadable
+        m1 = self._model(1, seed=5)
+        assert np.asarray(m1.weight_objects()[0]).shape == (2, 2)
+        m1.save_weights("c1", str(tmp_path))
+        m1b = self._model(1, seed=9)
+        m1b.load_params(str(tmp_path / "c1.pkl"))
+        np.testing.assert_allclose(np.asarray(m1b.params.kernel),
+                                   np.asarray(m1.params.kernel))
+        # kernel-count mismatch is a clear error, not a silent reshape
+        with pytest.raises(ValueError, match="n_kernels=2"):
+            m2c = self._model(2, seed=1)
+            m2c.load_params(str(tmp_path / "c1.pkl"))
+
+    def test_cli_flag(self):
+        from qbmx.cli import cdqbm_main
+
+        assert cdqbm_main.build_parser().parse_args([]).n_kernels == 1
+        flags = cdqbm_main.build_parser().parse_args(["--n_kernels", "4"])
+        assert flags.n_kernels == 4

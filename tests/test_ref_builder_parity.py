@@ -57,7 +57,10 @@ class RefModelShim:
 
     def __init__(self, m: CDQBM, zero_per_unit_bias: bool = False):
         geo, p = m.geo, m.params
-        self.kernel_weights = np.asarray(p.kernel, dtype=float)
+        # qbmx stores (n_kernels, k, k); the reference has exactly one
+        # shared kernel — parity is defined at n_kernels=1
+        assert geo.n_kernels == 1
+        self.kernel_weights = np.asarray(p.kernel[0], dtype=float)
         self.stride = geo.stride
         self.num_conv_units = geo.num_conv_units
         self.pooling_type = geo.pooling_type
