@@ -301,25 +301,55 @@ def _lane_kernel(seed_ref, J_ref, Jd_ref, H_ref, hot_ref, logr_ref, *rest,
                     )
                 return
 
+            # single-variable sub-steps.  Same Mosaic alignment split as the
+            # pair path above: at fold == 8 every (fold, Lw) slab ref is
+            # provably 8-aligned; at fold < 8 the slab offsets j·fold are
+            # NOT (vector.load "index in dimension 2 is a multiple of 8"
+            # compile error — observed on hardware at the r5 fold=4 shape
+            # n=149, the C=4 CDQBM sweep), so the whole BS-row block is
+            # loaded/stored ONCE (r0 is a multiple of BS = 8·fold ≥ 8) and
+            # rows are sliced as VALUES.  Rows are disjoint across j; the
+            # only cross-step dependency is F, carried by the ds updates.
+            aligned = fold == 8
+            if not aligned:
+                r_blk = pl.ds(pl.multiple_of(r0, 8), BS)
+                s_all = out_ref[0, 0, r_blk, :]  # (BS, Lw)
+                thr_all = thr_ref[r_blk, :]
+                parts = []
             for j in range(k_here):  # static unroll
-                rows8 = rows_at(b * BS + j * fold)
-                s_blk = out_ref[0, 0, rows8, :]  # (fold, Lw)
+                if aligned:
+                    rows8 = rows_at(b * BS + j * fold)
+                    s_blk = out_ref[0, 0, rows8, :]  # (fold, Lw)
+                    thr = thr_ref[rows8, :]
+                else:
+                    s_blk = s_all[j * fold : (j + 1) * fold, :]
+                    thr = thr_all[j * fold : (j + 1) * fold, :]
                 f = F[j * fold : (j + 1) * fold, :]
-                thr = thr_ref[rows8, :]
                 if rule == "metropolis":
                     cdir = 1.0 - 2.0 * s_blk
                     accept = cdir * f < thr
                     ds = jnp.where(accept, cdir, 0.0)
-                    out_ref[0, 0, rows8, :] = s_blk + ds
+                    new = s_blk + ds
                 else:
                     new = (f < thr).astype(jnp.float32)
                     ds = new - s_blk
+                if aligned:
                     out_ref[0, 0, rows8, :] = new
+                else:
+                    parts.append(new)
                 if j < k_here - 1:
                     # correct remaining in-block fields: F[fold*j'+k] +=
                     # J[j', j] * ds[k]  ⟺  F += Jd[:, fold*j : fold*(j+1)] @ ds
                     F = F + jnp.dot(Jd[:, j * fold : (j + 1) * fold], ds,
                                     preferred_element_type=jnp.float32)
+            if not aligned:
+                used = k_here * fold
+                if used < BS:  # untouched rows of the tail block
+                    parts.append(s_all[used:, :])
+                out_ref[0, 0, r_blk, :] = (
+                    jnp.concatenate(parts, axis=0) if len(parts) > 1
+                    else parts[0]
+                )
 
         nb_full, rem = divmod(n, KVARS)
 

@@ -170,9 +170,16 @@ def test_lane_geometry_group_budget():
     assert C_s == 1
 
 
+@pytest.mark.parametrize("rule", ["heatbath", "metropolis"])
 @pytest.mark.parametrize("fold", [1, 2, 4])
-def test_small_fold_matches(monkeypatch, fold):
-    """Sub-8 folds (large-n routing) are pure layout: same trajectories."""
+def test_small_fold_matches(monkeypatch, fold, rule):
+    """Sub-8 folds (large-n routing) are pure layout: same trajectories.
+
+    Both rules cover the single-sub-step block path — at fold < 8 the row
+    slabs are loaded/stored once per block and sliced as values (Mosaic
+    cannot prove 8-alignment of dynamic fold-row refs; the unfixed ref
+    form compile-errored on hardware at the r5 fold=4 metropolis shape
+    n=149)."""
     rng = np.random.default_rng(100 + fold)
     G, B, n, reads, sweeps = 1, 2, 13, 40, 4
     Qg, h_extra, init01, uniforms = _problem(rng, G, B, n, reads, sweeps)
@@ -186,7 +193,7 @@ def test_small_fold_matches(monkeypatch, fold):
 
     hot = jnp.full((G, B), 0.3)
     cold = jnp.full((G, B), 1.0)
-    args = dict(rule="heatbath", beta_hot=hot, beta_cold=cold,
+    args = dict(rule=rule, beta_hot=hot, beta_cold=cold,
                 interpret=True, debug_randoms=(init01, uniforms))
     base = lane_sample_groups(jax.random.key(0), Qg, h_extra, reads, sweeps, **args)
     monkeypatch.setattr(sl, "lane_geometry", forced)
