@@ -59,10 +59,13 @@ class SeedParallelDQBM:
     key PER problem, derived from that problem's seed's own (S,) stream —
     with an XLA sampler a seed's noise is therefore independent of which
     other seeds share the sweep (single-seed trajectories reproduce exactly
-    across different seed sets — pinned by tests/test_sweep.py); the packed
-    Pallas kernel mixes the key array into its per-pack seed, so there
-    parity stays statistical (CLAUDE.md).  Per-seed streams still do not
-    match the sequential single-model runs (different split trees).
+    across different seed sets — pinned by tests/test_sweep.py); the lane
+    kernel derives one on-chip stream per GROUP from that group's keys
+    alone (``sa_lane._lane_seed_table``), so the same holds on the TPU
+    sweep route at matched geometry; only the packed Pallas kernel still
+    mixes all keys into its per-pack seed, where parity stays statistical
+    (``sa_pallas._seed_scalar``, CLAUDE.md).  Per-seed streams still do
+    not match the sequential single-model runs (different split trees).
     """
 
     def __init__(
@@ -182,9 +185,12 @@ class SeedParallelDQBM:
             # (VERDICT r2 #8): with an XLA sampler a seed's noise is
             # independent of which other seeds share the sweep, so a single
             # seed's trajectory reproduces exactly outside the sweep; the
-            # Pallas kernels mix the keys into per-grid seeds
-            # (statistically equivalent, no per-seed stream there —
-            # sa_pallas._seed_scalar).
+            # lane kernel seeds one on-chip stream per GROUP from that
+            # group's keys alone (sa_lane._lane_seed_table — seeds map 1:1
+            # to groups here, so the independence carries over at matched
+            # geometry); only the packed kernel mixes all keys into
+            # per-grid seeds (statistically equivalent, no per-seed stream
+            # — sa_pallas._seed_scalar).
             pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
             # group-major order: [all seeds' clamped, all seeds' unclamped]
             gkeys = jnp.concatenate([pkeys[:, :B], pkeys[:, B:]], axis=0)

@@ -380,3 +380,35 @@ def test_epoch_scan_decision_uses_real_call_shapes(monkeypatch):
 
     m2 = DiscQBM(dim_input=4, n_hidden_nodes=3, seed=0, sample_count=reads)
     assert m2._sampler_call_groups() == 2
+
+
+def test_lane_seed_table_per_group_isolation():
+    """The on-chip PRNG seed table (r5, VERDICT r4 Weak #4): row g must be
+    a pure function of group g's key(s) alone — per-seed trajectory
+    reproducibility on the lane sweep route depends on it — and rows must
+    be distinct (no cross-group stream collisions from the finalizer)."""
+    from qbmx.samplers.sa_lane import _lane_seed_table
+
+    kA, kB, kC = (jax.random.key(i) for i in (1, 2, 3))
+    t1 = np.asarray(_lane_seed_table(jnp.stack([kA, kB]), 2, 3))
+    t2 = np.asarray(_lane_seed_table(jnp.stack([kA, kC]), 2, 3))
+    assert np.array_equal(t1[0], t2[0])  # group 0 untouched by group 1's key
+    assert not np.array_equal(t1[1], t2[1])
+
+    # (G, B) per-problem key rows: same isolation property
+    kk = jax.random.split(jax.random.key(0), 6).reshape(2, 3)
+    kk2 = kk.at[1].set(jax.random.split(jax.random.key(9), 3))
+    u1 = np.asarray(_lane_seed_table(kk, 2, 2))
+    u2 = np.asarray(_lane_seed_table(kk2, 2, 2))
+    assert np.array_equal(u1[0], u2[0])
+    assert not np.array_equal(u1[1], u2[1])
+
+    # flat group-major (G*B,) keys — the sweep's gkeys.reshape(2*S*B) form —
+    # must agree with the (G, B) form
+    u3 = np.asarray(_lane_seed_table(kk.reshape(-1), 2, 2))
+    assert np.array_equal(u1, u3)
+
+    # scalar-key path: full-shape table, all entries distinct, non-negative
+    t3 = np.asarray(_lane_seed_table(jax.random.key(5), 4, 2))
+    assert t3.shape == (4, 2)
+    assert len(np.unique(t3)) == 8 and t3.min() >= 0
