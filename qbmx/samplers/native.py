@@ -148,7 +148,7 @@ class NativeSASampler:
             # what sampler_sample_groups' densify fallback forwards): the
             # C++ seeds entry gives TRUE per-problem streams — problem b's
             # samples depend on key[b] alone (VERDICT r4 Weak #4; the
-            # packed TPU kernel still mixes, the lane kernel is per-group).
+            # packed TPU kernel is per-pack, the lane kernel per-group).
             kd = jax.random.key_data(key.reshape(-1))  # (B, words) uint32
 
             if not isinstance(jnp.asarray(Q), jax.core.Tracer) and not isinstance(

@@ -387,7 +387,7 @@ def _lane_seed_table(key: jax.Array, G: int, C: int) -> jax.Array:
     the per-group shape (n, B, R) — and hence the geometry — is unchanged.
     Within a group, a (B,) problem-key row is still position-salt-mixed:
     per-PROBLEM streams remain unavailable on kernel routes (the packed
-    kernel keeps the all-keys mix — ``sa_pallas._seed_scalar``)."""
+    kernel's streams are per PACK — ``sa_pallas._pack_seed_table``)."""
     if key.ndim:  # (G,) or (G, B) key arrays
         kd = jax.random.key_data(key.reshape(G, -1)).astype(jnp.uint32)
         kd = kd.reshape(G, -1)  # (G, B·words)

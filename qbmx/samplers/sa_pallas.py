@@ -146,22 +146,36 @@ def block_vars(P: int) -> int:
     return 16  # P == 1: BS = 16 rows, 8-aligned
 
 
-def _seed_scalar(key):
-    """(1, 1) int32 kernel seed from a single PRNG key or a (B,) key array.
+def _pack_seed_table(key, G: int, P: int, B: int):
+    """(G, 1) int32 on-chip PRNG seed table: row g is a pure function of
+    pack g's problems' keys alone (problems ``[g*P, (g+1)*P)``; splitmix32
+    finalizer for avalanche between adjacent packs).
 
-    The packed kernel's on-chip PRNG is seeded per PACK (seed + program id),
-    not per problem, so a per-problem key array is MIXED into one seed with
-    a position-salted xor-sum: sample statistics stay correct and any key
-    change flips the seed, but per-problem stream reproducibility is NOT
-    available on this path (the XLA samplers honor key arrays exactly —
-    see sa_jax.sa_sample_batch)."""
+    Pack-level stream ISOLATION only: one ``prng_random_bits((N, R))``
+    draw covers a whole pack, so per-PROBLEM streams remain unavailable
+    here — the XLA and native samplers honor key arrays exactly, the lane
+    kernel is per-group (``sa_lane._lane_seed_table``).  A (KB,) key
+    array with KB < B (the PT path: keys per ladder, batch expanded to
+    ladders × rungs) is repeated ``B // KB`` times, so a pack's seed is a
+    function of its own ladders' keys."""
     if key.ndim:
-        kd = jax.random.key_data(key).astype(jnp.uint32)  # (B, words)
-        mixed = kd[..., 0] if kd.shape[-1] == 1 else jnp.bitwise_xor(kd[..., 0], kd[..., -1])
-        pos = jnp.arange(mixed.shape[0], dtype=jnp.uint32) * jnp.uint32(2654435761)
-        s = jnp.bitwise_xor(mixed, pos).sum()
-        return (s % jnp.uint32(2**31 - 1)).astype(jnp.int32).reshape(1, 1)
-    return jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        kd = jax.random.key_data(key.reshape(-1)).astype(jnp.uint32)
+        kd = kd.reshape(kd.shape[0], -1)  # (KB, words)
+        if kd.shape[0] != B:
+            assert B % kd.shape[0] == 0, (kd.shape[0], B)
+            kd = jnp.repeat(kd, B // kd.shape[0], axis=0)
+        kd = jnp.pad(kd, ((0, G * P - B), (0, 0)))
+        kd = kd.reshape(G, -1)  # (G, P·words)
+        pos = jnp.arange(kd.shape[1], dtype=jnp.uint32) * jnp.uint32(2654435761)
+        base = jnp.bitwise_xor(kd, pos[None]).sum(axis=1)  # (G,)
+    else:
+        base = jax.random.randint(
+            key, (G,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+    x = (base ^ (base >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x % jnp.uint32(2**31 - 1)).astype(jnp.int32).reshape(G, 1)
 
 
 def _roll_rows(x, shift: int):
@@ -252,7 +266,7 @@ def _sa_kernel(seed_ref, hot_ref, logr_ref, J_ref, Jd_ref, *rest, n: int,
     if debug:
         rand01 = init_ref[0]
     else:
-        pltpu.prng_seed(seed_ref[0, 0] + g)
+        pltpu.prng_seed(seed_ref[g, 0])  # per-pack stream table
         bits = pltpu.bitcast(pltpu.prng_random_bits((N, R)), jnp.uint32)
         rand01 = pltpu.bitcast(bits & 1, jnp.int32).astype(jnp.float32)
     out_ref[0] = jnp.where(step_of_row < n, rand01,
@@ -600,11 +614,11 @@ def _run_packed(key, Q, num_reads: int, num_sweeps: int, hot_v, logr_v,
         v = jnp.pad(v, ((0, 0), (0, N - P * stride)), constant_values=1.0)
         return v[..., None]
 
-    seed = _seed_scalar(key)
+    seed = _pack_seed_table(key, G, P, B)
 
     debug = debug_randoms is not None
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1), shared
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed table (G, 1), shared
         pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N, 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N, N), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),

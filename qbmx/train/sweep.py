@@ -62,10 +62,11 @@ class SeedParallelDQBM:
     across different seed sets — pinned by tests/test_sweep.py); the lane
     kernel derives one on-chip stream per GROUP from that group's keys
     alone (``sa_lane._lane_seed_table``), so the same holds on the TPU
-    sweep route at matched geometry; only the packed Pallas kernel still
-    mixes all keys into its per-pack seed, where parity stays statistical
-    (``sa_pallas._seed_scalar``, CLAUDE.md).  Per-seed streams still do
-    not match the sequential single-model runs (different split trees).
+    sweep route at matched geometry; the packed Pallas kernel's streams
+    are per PACK (a geometry-dependent unit spanning several problems —
+    ``sa_pallas._pack_seed_table``), so there parity stays statistical.
+    Per-seed streams still do not match the sequential single-model runs
+    (different split trees).
     """
 
     def __init__(
@@ -188,9 +189,9 @@ class SeedParallelDQBM:
             # lane kernel seeds one on-chip stream per GROUP from that
             # group's keys alone (sa_lane._lane_seed_table — seeds map 1:1
             # to groups here, so the independence carries over at matched
-            # geometry); only the packed kernel mixes all keys into
-            # per-grid seeds (statistically equivalent, no per-seed stream
-            # — sa_pallas._seed_scalar).
+            # geometry); the packed kernel's streams are per PACK
+            # (statistically equivalent, no per-seed stream —
+            # sa_pallas._pack_seed_table).
             pkeys = jax.vmap(lambda k: jax.random.split(k, 2 * B))(keys)
             # group-major order: [all seeds' clamped, all seeds' unclamped]
             gkeys = jnp.concatenate([pkeys[:, :B], pkeys[:, B:]], axis=0)
