@@ -27,25 +27,18 @@ flushes on ``block_until_ready``, CLAUDE.md).
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
 
 def _enable_compile_cache():
-    """Persistent compile cache (same default as qbmx.cli._common): the
-    extra rows add shape families whose first remote-AOT compile can take
-    minutes; the cache amortizes them across rounds."""
-    import jax
+    """Persistent compile cache (the shared qbmx.cli._common setup — one
+    copy of the knobs): the extra rows add shape families whose first
+    remote-AOT compile can take minutes; the cache amortizes them across
+    rounds."""
+    from qbmx.cli._common import enable_compile_cache
 
-    cache = os.environ.get("QBMX_COMPILE_CACHE",
-                           os.path.expanduser("~/.cache/qbmx_jax"))
-    if cache:
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    enable_compile_cache()
 
 #: reference neal-pool spin-update rate (derivation in the module docstring)
 REF_SA_SPIN_UPDATES_PER_SEC = 3.6e6

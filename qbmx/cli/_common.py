@@ -15,15 +15,24 @@ from qbmx.data import loaders
 if os.environ.get("QBMX_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["QBMX_PLATFORM"])
 
-# Persistent compilation cache: sweep CLIs spawn one process per seed and
-# would otherwise pay the full (remote) compile for every run.
-_cache_dir = os.environ.get("QBMX_COMPILE_CACHE", os.path.expanduser("~/.cache/qbmx_jax"))
-if _cache_dir:
-    try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+def enable_compile_cache() -> None:
+    """Persistent compilation cache (``QBMX_COMPILE_CACHE``, default
+    ``~/.cache/qbmx_jax``): sweep CLIs spawn one process per seed and
+    would otherwise pay the full (remote) compile for every run.  Shared
+    with ``bench.py`` so the knobs cannot drift.  Point the env var at a
+    fresh directory if a killed-mid-compile process poisons the cache
+    (CLAUDE.md)."""
+    cache_dir = os.environ.get("QBMX_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/qbmx_jax"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
+enable_compile_cache()
 
 
 def str2bool(v) -> bool:

@@ -381,7 +381,10 @@ def partition_target(target_adj: dict, k: int, *, seed: int = 0,
     seeds = [nodes[rng.integers(len(nodes))]]
     while len(seeds) < k:  # farthest-point seeding
         dist = bfs_dist(seeds)
-        far = max(nodes, key=lambda q: dist.get(q, -1))
+        # unreachable nodes (disconnected components — defect-split chips)
+        # rank as INFINITELY far, so every component gets a seed before any
+        # component is split further
+        far = max(nodes, key=lambda q: dist.get(q, np.inf))
         seeds.append(far)
 
     owner = {q: i for i, q in enumerate(seeds)}
@@ -478,14 +481,32 @@ def embed_qubo(qdict: dict, embedding: dict, target_adj: dict,
             continue
         for q, p in couplers:
             add(q, p, val / len(couplers))
-    for chain in embedding.values():
+    for var, chain in embedding.items():
         cset = set(chain)
+        intra: dict = {q: [] for q in cset}
         for q in chain:
             for p in target_adj.get(q, ()):
                 if p in cset and q < p:  # each intra-chain coupler once
                     add(q, p, -4.0 * cs)
                     add(q, q, 2.0 * cs)
                     add(p, p, 2.0 * cs)
+                    intra[q].append(p)
+                    intra[p].append(q)
+        if len(cset) > 1:
+            # a chain edge missing from the target (dead coupler) would leave
+            # the halves annealing independently with NO penalty holding them
+            # together — refuse, mirroring the inter-chain coverage check
+            first = next(iter(cset))
+            frontier, visited = [first], {first}
+            while frontier:
+                for p in intra[frontier.pop()]:
+                    if p not in visited:
+                        visited.add(p)
+                        frontier.append(p)
+            if visited != cset:
+                raise ValueError(
+                    f"chain for variable {var} is disconnected on the target "
+                    "graph — embedding does not fit this chip")
     for chain in embedding.values():  # keep isolated chain qubits present
         for q in chain:
             phys.setdefault((q, q), 0.0)

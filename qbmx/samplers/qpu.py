@@ -69,6 +69,23 @@ def _ordered_samples(sampleset, n: int) -> np.ndarray:
     return rec[:, order]
 
 
+def _pad_reads(out: np.ndarray, num_reads: int) -> np.ndarray:
+    """Guarantee exactly ``num_reads`` rows: hardware may deliver fewer
+    reads than requested, but the Sampler protocol promises a full
+    (num_reads, n) block (a short block would ragged-break ``np.stack``
+    across a batch or silently starve moment estimation).  Short
+    deliveries are padded by cycling the delivered reads — reads are
+    exchangeable, so cycling preserves every sample statistic."""
+    if out.shape[0] >= num_reads:
+        return out[:num_reads]
+    if out.shape[0] == 0:
+        raise RuntimeError(
+            "sampler delivered zero reads — cannot satisfy the requested "
+            f"num_reads={num_reads}")
+    reps = -(-num_reads // out.shape[0])
+    return np.tile(out, (reps, 1))[:num_reads]
+
+
 class QPUSampler:
     """Adapter from a dimod-style sampler to the qbmx Sampler protocol.
 
@@ -152,7 +169,7 @@ class QPUSampler:
         n = Q.shape[-1]
         k = min(self.copies, num_reads)  # never anneal more copies than reads
         if k <= 1:
-            out = self._call(_qubo_dict(Q), num_reads, n)[:num_reads]
+            out = _pad_reads(self._call(_qubo_dict(Q), num_reads, n), num_reads)
             self.samples_returned += out.shape[0]
             return out
         # k replicas block-diagonally: replica c owns variables
@@ -169,7 +186,7 @@ class QPUSampler:
         # the rows actually delivered, not hw_reads: a sampler may return
         # more (occurrence-expanded histogram) or fewer than requested
         got = rec.shape[0]
-        out = rec.reshape(got, k, n).reshape(got * k, n)[:num_reads]
+        out = _pad_reads(rec.reshape(got, k, n).reshape(got * k, n), num_reads)
         self.samples_returned += out.shape[0]
         return out
 
@@ -337,14 +354,22 @@ class StructuredQPUSampler(QPUSampler):
         elif self._topology is not None:
             _, m, ncols, t = self._topology
             A = -(-n // t)
+            # real chips have defects: a declared Chimera topology does not
+            # guarantee every qubit/coupler exists, so each candidate block
+            # is VERIFIED against the actual adjacency and defective blocks
+            # are skipped (next translation; heuristic fallback when none fit)
+            clique = [(u, v) for u in range(n) for v in range(u + 1, n)]
             embs = []
             for br in range(m // A if A else 0):
+                if len(embs) == self.copies:
+                    break
                 for bc in range(ncols // A if A else 0):
                     if len(embs) == self.copies:
                         break
                     e = emb_mod.clique_embedding_chimera(
                         n, m, ncols, t, cell_offset=(br * A, bc * A))
-                    if e is not None:
+                    if e is not None and not emb_mod.verify_embedding(
+                            e, clique, self._adj):
                         embs.append(e)
             if not embs:  # K_n beyond the clique construction → heuristic
                 embs = self._heuristic_embeddings(n)
@@ -415,6 +440,7 @@ class StructuredQPUSampler(QPUSampler):
             self._cb_cells += got * n
         # read-major de-interleave (split_and_rename_dicts semantics,
         # src/model/faster_dqbm.py:399-407): read r, replica c → sample r*k+c
-        out = np.stack(logical, axis=1).reshape(got * k, n)[:num_reads]
+        out = _pad_reads(np.stack(logical, axis=1).reshape(got * k, n),
+                         num_reads)
         self.samples_returned += out.shape[0]
         return out

@@ -490,3 +490,85 @@ class TestRegistryIntegration:
         assert qpu_sampler_kwargs() is None  # defaults stay byte-identical
         assert qpu_sampler_kwargs(3, "composite", "d") == {
             "copies": 3, "embedding": "composite", "cache_dir": "d"}
+
+
+# ---------------------------------------------------------------------------
+# hardware-defect robustness (round-5 review findings)
+
+
+class TestDefectRobustness:
+    """Real chips have dead qubits/couplers and can even be disconnected;
+    the pipeline must route around defects rather than program them."""
+
+    @staticmethod
+    def _remove_qubit(adj, q):
+        adj = {k: set(v) for k, v in adj.items() if k != q}
+        for nbrs in adj.values():
+            nbrs.discard(q)
+        return adj
+
+    def test_partition_covers_disconnected_components(self):
+        # two disjoint 4-cliques: farthest-point seeding must put one seed
+        # in EACH component (unreachable = infinitely far), so no node is
+        # left out of every region
+        comp_a, comp_b = [0, 1, 2, 3], [10, 11, 12, 13]
+        adj = {u: {v for v in comp_a if v != u} for u in comp_a}
+        adj.update({u: {v for v in comp_b if v != u} for u in comp_b})
+        regions = partition_target(adj, 2, seed=0)
+        assert set().union(*regions) == set(adj)
+        assert sorted(map(sorted, regions)) == [comp_a, comp_b]
+
+    def test_embed_qubo_rejects_disconnected_chain(self):
+        # path 0-1-2; chain (0, 2) skips qubit 1, so no intra-chain coupler
+        # exists and the ferromagnetic penalty cannot hold the chain together
+        adj = {0: {1}, 1: {0, 2}, 2: {1}}
+        emb = {0: (0, 2)}
+        assert verify_embedding(emb, [], adj)  # invalid per the checker
+        with pytest.raises(ValueError, match="disconnected"):
+            embed_qubo({(0, 0): 1.0}, emb, adj)
+
+    def test_chimera_fast_path_skips_defective_blocks(self):
+        # kill qubit 0 (inside cell block (0,0)): the clique fast path must
+        # verify each block against the REAL adjacency and place the
+        # embedding in a clean block instead of programming the dead qubit
+        dead = chimera_index(0, 0, 0, 0, 4, 4, 4)
+        adj = self._remove_qubit(chimera_graph(4), dead)
+        fake = FakeHardwareSampler(adj, topology={"type": "chimera",
+                                                  "shape": [4, 4, 4]},
+                                   seed=0, sweeps=120)
+        adapter = StructuredQPUSampler(fake)
+        Q = jnp.asarray(np.diag([-1.0, 1.0, -1.0, 1.0, -1.0]).astype(np.float32)
+                        + np.triu(np.full((5, 5), 0.1, np.float32), 1))[None]
+        out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 32))[0]
+        assert out.shape == (32, 5)
+        assert adapter.embedding_searches == 1
+        used = {q for e in adapter._embeddings_for(5, False)
+                for chain in e.values() for q in chain}
+        assert dead not in used and used <= set(adj)
+
+    def test_short_delivery_is_padded_to_num_reads(self):
+        # hardware may deliver fewer reads than requested: the adapter must
+        # still return the full (num_reads, n) block (cycle-padded)
+        class Short(FakeHardwareSampler):
+            def sample_qubo(self, qdict, num_reads=1, **kw):
+                ss = super().sample_qubo(qdict, num_reads=num_reads, **kw)
+                ss.record.sample = ss.record.sample[:max(1, num_reads // 2)]
+                return ss
+
+        fake = Short(chimera_graph(2), topology=CHIMERA_TOPO, sweeps=40)
+        adapter = StructuredQPUSampler(fake)
+        Q = jnp.asarray(np.diag([-1.0, -1.0]).astype(np.float32))[None]
+        out = np.asarray(adapter.sample_batch(jax.random.key(0), Q, 9))[0]
+        assert out.shape == (9, 2)
+
+        class ShortDuck:
+            def sample_qubo(self, qdict, num_reads=1, **_):
+                variables = sorted({q for ij in qdict for q in ij})
+                return FakeSampleSet(
+                    np.ones((max(1, num_reads // 3), len(variables))),
+                    variables)
+
+        base = QPUSampler(ShortDuck())
+        out = np.asarray(base.sample_batch(jax.random.key(1),
+                                           jnp.tile(Q, (3, 1, 1)), 8))
+        assert out.shape == (3, 8, 2)
