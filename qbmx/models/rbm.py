@@ -195,6 +195,12 @@ def make_train_step(
     documented-but-unimplemented mode).  ``compute_dtype`` threads into the
     CD statistics (see :func:`cd_stats`); parameters and updates stay f32.
     """
+    if method not in ("discriminative", "generative", "pcd", "hybrid"):
+        # an unknown string would otherwise silently no-op (zero updates,
+        # constant-0 loss) — the run "succeeds" with an untrained model
+        raise ValueError(
+            f"unknown method {method!r}: expected 'discriminative', "
+            "'generative', 'pcd', or 'hybrid'")
     persistent = method == "pcd"
 
     def step(params: RBMParams, key, x, y, lr, chain=None):
@@ -342,7 +348,15 @@ class ClassificationRBM:
         n = x.shape[0]
         loss_list, nll_list = [], []  # run-local (the return value)
         is_pcd = self.method == "pcd"
-        epoch_fn = None if is_pcd else make_epoch_scan(self._step)
+        if is_pcd:
+            epoch_fn = None
+        else:
+            # cached on the instance: a fresh closure per call would force a
+            # full retrace/recompile of the whole-epoch scan on every
+            # train_rbm invocation (resume loops, repeated short runs)
+            epoch_fn = getattr(self, "_epoch_fn", None)
+            if epoch_fn is None:
+                epoch_fn = self._epoch_fn = make_epoch_scan(self._step)
         for epoch_i in range(start_epoch + 1, epochs + 1):
             if shuffle:
                 self.key, kp = jax.random.split(self.key)
@@ -351,8 +365,14 @@ class ClassificationRBM:
             else:
                 xs, ys = x, y
             nb = n // batch_size
-            xb = xs[: nb * batch_size].reshape(nb, batch_size, -1)
-            yb = ys[: nb * batch_size].reshape(nb, batch_size)
+            if nb == 0 and is_pcd:
+                raise ValueError(
+                    f"batch_size={batch_size} exceeds the {n}-example "
+                    "training set and method='pcd' skips ragged batches — "
+                    "nothing would train; lower batch_size")
+            if nb:
+                xb = xs[: nb * batch_size].reshape(nb, batch_size, -1)
+                yb = ys[: nb * batch_size].reshape(nb, batch_size)
             self.key, ke = jax.random.split(self.key)
             if is_pcd:
                 # chain state carries across batches (fixed batch shape).
@@ -369,14 +389,20 @@ class ClassificationRBM:
                     losses.append(float(loss))
                 mean_loss = float(np.mean(losses)) if losses else float("nan")
             else:
-                self.params, mean_loss = epoch_fn(self.params, ke, xb, yb, self.learning_rate)
-                # remainder batch (reference trains it too)
+                if nb:
+                    self.params, mean_loss = epoch_fn(
+                        self.params, ke, xb, yb, self.learning_rate)
+                # remainder batch (reference trains it too); when the batch
+                # size exceeds the dataset (nb == 0) the WHOLE set is the
+                # remainder and its loss is the epoch loss
                 if n % batch_size:
                     self.key, kr = jax.random.split(self.key)
-                    self.params, _ = self._step(
+                    self.params, rloss = self._step(
                         self.params, kr, xs[nb * batch_size :], ys[nb * batch_size :],
                         self.learning_rate,
                     )
+                    if nb == 0:
+                        mean_loss = rloss
             loss_list.append(float(mean_loss))
             nll_list.append(float(mean_loss))
             self.nll_per_epoch_list.append(float(mean_loss))

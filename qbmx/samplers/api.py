@@ -92,15 +92,18 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pack_fits_vmem(n: int, B: int, num_reads: int) -> bool:
+def _pack_fits_vmem(n: int, B: int, num_reads: int, min_p: int = 1) -> bool:
     """Does the CHOSEN pack geometry fit the kernel's VMEM rules?  A single
     pack gets the full budget; a multi-pack grid double-buffers its blocks
     under the compiler's 16 MiB scoped-VMEM limit (pack_geometry enforces
     the same split, but its P=1 fallback can still exceed it — callers
-    decline here so such shapes go to XLA instead of a compile-time OOM)."""
+    decline here so such shapes go to XLA instead of a compile-time OOM).
+    ``min_p``: forwarded to ``pack_geometry`` (PT passes its rung count so
+    the fit is judged at the geometry the PT route actually uses) — the
+    ONE copy of the budget formulas for the SA/BMS and PT routes."""
     from qbmx.samplers.sa_pallas import _VMEM_BUDGET, pack_geometry
 
-    stride, P, N = pack_geometry(n, batch=B, reads=num_reads)
+    stride, P, N = pack_geometry(n, batch=B, reads=num_reads, min_p=min_p)
     R = -(-num_reads // 128) * 128
     if B > P:  # multi-pack grid
         return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
@@ -376,6 +379,17 @@ class PTSampler:
         probe = jax.ShapeDtypeStruct((1, n, n), jnp.float32)
         return not self._pallas_enabled(probe, num_reads)
 
+    def scan_safe_groups(self, n: int, num_problems: int, num_reads: int,
+                         groups: int = 2) -> bool:
+        """PT has no lane variant: structured calls densify to a
+        (groups·num_problems, n, n) batch, so scan-safety must be judged
+        at THAT batch — a B=1 probe could route XLA (scan looks safe)
+        while the real batch routes the packed kernel, the axon-AOT scan
+        hang ``sampler_scan_safe_groups`` exists to prevent."""
+        probe = jax.ShapeDtypeStruct((groups * num_problems, n, n),
+                                     jnp.float32)
+        return not self._pallas_enabled(probe, num_reads)
+
     def _pallas_enabled(self, Q, num_reads: int = 128) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
@@ -393,12 +407,7 @@ class PTSampler:
             return False  # ladders would straddle pack boundaries
         # No large-batch XLA preference here: the XLA PT path pays M rungs
         # of the slow per-variable scan, so the kernel wins whenever it fits.
-        R = -(-num_reads // 128) * 128
-        from qbmx.samplers.sa_pallas import _VMEM_BUDGET
-
-        if B > P:  # multi-pack grid (same scoped-VMEM rule as _pack_fits_vmem)
-            return 4 * (2 * N * N + 3 * N * R) <= 15 * 2**20
-        return 4 * (N * N + 2 * N * R) <= _VMEM_BUDGET
+        return _pack_fits_vmem(n, B, num_reads, min_p=M)
 
 
 @dataclasses.dataclass(frozen=True)

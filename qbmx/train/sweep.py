@@ -259,13 +259,8 @@ class SeedParallelDQBM:
                                   self.restricted),
             attempt=attempt,
         )
-        if self.mesh is not None:
-            # keep the dp sharding: row-scatter on replicated fresh rows
-            fresh_p = jax.device_put(fresh_p, jax.devices()[0])
-        idx = jnp.asarray(list(indices), dtype=jnp.int32)
-        self.params = jax.tree.map(
-            lambda a, f: a.at[idx].set(f), self.params, fresh_p)
-        self.keys = self.keys.at[idx].set(fresh_k)
+        self.params, self.keys = _scatter_seed_rows(
+            self.mesh, self.params, self.keys, indices, fresh_p, fresh_k)
 
     # -- driver ----------------------------------------------------------------
 
@@ -280,7 +275,13 @@ class SeedParallelDQBM:
         xv = jnp.asarray(val_X, jnp.float32) if val_X is not None else None
 
         histories = [History() for _ in range(self.S)]
-        attempts = [0] * self.S  # per-seed re-init counters
+        # per-seed re-init counters, persisted on the instance: a later
+        # train() call must continue at attempt N+1, not re-draw the
+        # attempt-1 basin that already flatlined (loop.py keeps the same
+        # counter on the single-model classes for resume)
+        attempts = getattr(self, "_reinit_attempts", None)
+        if attempts is None:
+            attempts = self._reinit_attempts = [0] * self.S
         from qbmx.samplers.api import sampler_scan_safe_groups
 
         n_u = self.n_output_nodes + self.params.b_h.shape[-1]
@@ -449,6 +450,31 @@ def _seed_streams(seeds: Sequence[int], init_fn, attempt: int = 0):
         keys = jnp.stack(run_keys)
     dev = jax.devices()[0]
     return jax.device_put(params, dev), jax.device_put(keys, dev)
+
+
+def _scatter_seed_rows(mesh, params, keys, indices, fresh_p, fresh_k):
+    """Row-scatter fresh seed rows into the stacked (possibly dp-sharded)
+    sweep state.  Under a mesh the fresh rows must first be REPLICATED over
+    the same device set (a plain ``device_put`` onto one device commits
+    them to a different device set than the sharded params and the
+    ``at[idx].set`` raises "incompatible devices"), and the result is
+    re-pinned to the dp sharding so later epochs stay distributed."""
+    idx = jnp.asarray(list(indices), dtype=jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        fresh_p = jax.tree.map(lambda f: jax.device_put(f, rep), fresh_p)
+        fresh_k = jax.device_put(fresh_k, rep)
+    params = jax.tree.map(lambda a, f: a.at[idx].set(f), params, fresh_p)
+    keys = keys.at[idx].set(fresh_k)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = NamedSharding(mesh, PartitionSpec("dp"))
+        params = jax.device_put(params, dp)
+        keys = jax.device_put(keys, dp)
+    return params, keys
 
 
 def _scan_epoch(step):
@@ -697,13 +723,8 @@ class SeedParallelCDQBM:
                                  m.learn_penalty, m.prob_penalty),
             attempt=attempt,
         )
-        if self.mesh is not None:
-            # keep the dp sharding: row-scatter on replicated fresh rows
-            fresh_p = jax.device_put(fresh_p, jax.devices()[0])
-        idx = jnp.asarray(list(indices), dtype=jnp.int32)
-        self.params = jax.tree.map(
-            lambda a, f: a.at[idx].set(f), self.params, fresh_p)
-        self.keys = self.keys.at[idx].set(fresh_k)
+        self.params, self.keys = _scatter_seed_rows(
+            self.mesh, self.params, self.keys, indices, fresh_p, fresh_k)
 
     def train(self, train_X, train_Y, val_X=None, val_Y=None, epochs: int = 1,
               batch_size: int = 8, learning_rate: float = 0.005,
@@ -727,7 +748,13 @@ class SeedParallelCDQBM:
               if val_X is not None else None)
 
         histories = [History() for _ in range(self.S)]
-        attempts = [0] * self.S  # per-seed re-init counters
+        # per-seed re-init counters, persisted on the instance: a later
+        # train() call must continue at attempt N+1, not re-draw the
+        # attempt-1 basin that already flatlined (loop.py keeps the same
+        # counter on the single-model classes for resume)
+        attempts = getattr(self, "_reinit_attempts", None)
+        if attempts is None:
+            attempts = self._reinit_attempts = [0] * self.S
         from qbmx.samplers.api import sampler_scan_safe_groups
 
         scan_ok = sampler_scan_safe_groups(
@@ -821,8 +848,11 @@ class SeedParallelRBM:
     a 10-seed × 20-epoch experiment in a single dispatch, vs the
     reference's 10 sequential processes (``rbm_main.py:36-82``).
 
-    Per-seed init and shuffle streams match ``ClassificationRBM`` (same
-    ``jax.random.key(seed)`` derivation).  Deviation: the ragged tail batch
+    Per-seed INIT streams match ``ClassificationRBM`` (same
+    ``jax.random.key(seed)`` derivation); the per-epoch shuffle/CD keys are
+    drawn in one ``split(key, 3)`` where the single model chains two
+    ``split(key, 2)`` calls, so trajectories agree statistically, not
+    bitwise.  Deviation: the ragged tail batch
     is dropped rather than trained (the single-model path trains it); with
     per-epoch reshuffling the dropped examples vary, and the parity config
     (breastmnist, bs=7, 546 train) has no tail at all.
@@ -931,7 +961,12 @@ class SeedParallelRBM:
         each a list of S lists of E floats (reference rbm_main pickles)."""
         from qbmx.utils.metrics import accuracy_and_auc
 
-        x = jnp.asarray(train_x, jnp.float32)
+        # flatten image-shaped input up front (ClassificationRBM.predict
+        # accepts (N, H, W); the jitted sweep must see (N, V) on BOTH the
+        # train and test sides — the train side only flattened incidentally
+        # via the batch reshape, the test side reaches predict_proba as-is)
+        x = jnp.asarray(train_x, jnp.float32).reshape(len(train_x), -1)
+        test_x = jnp.asarray(test_x, jnp.float32).reshape(len(test_x), -1)
         y = jnp.asarray(np.asarray(train_y))
         n = x.shape[0]
         nb = n // batch_size

@@ -383,3 +383,35 @@ def test_bms_pt_routing(monkeypatch):
 
     if pack_geometry(14, batch=32, reads=100)[1] % 16:
         assert not PTSampler(num_replicas=16)._pallas_enabled(probe16, 100)
+
+
+def test_pt_scan_safe_groups_judges_densified_batch(monkeypatch):
+    """PT has no lane variant: structured calls reach it through the
+    densify fallback as a (G·B, n, n) batch, so scan-safety must be judged
+    at THAT batch.  The old generic fallback probed B=1 via scan_safe,
+    which can disagree with the real batch's route and put the packed
+    kernel inside lax.scan — the axon AOT hang."""
+    import jax as _jax
+
+    from qbmx.samplers import api as api_mod
+    from qbmx.samplers.api import PTSampler, sampler_scan_safe_groups
+
+    class _FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(_jax, "devices", lambda *a, **k: [_FakeDev()])
+    pt = PTSampler(num_sweeps=8, num_replicas=8)
+    # invariant at several shapes: decision == NOT pallas at the densified
+    # batch (the exact-shape rule sampler_scan_safe_groups documents)
+    for n, B, G, R in [(41, 60, 2, 100), (14, 16, 2, 100), (23, 8, 4, 200),
+                       (6, 60, 2, 1000)]:
+        dens = jax.ShapeDtypeStruct((G * B, n, n), jnp.float32)
+        assert pt.scan_safe_groups(n, B, R, groups=G) == (
+            not pt._pallas_enabled(dens, R)), (n, B, G, R)
+    # the generic entry point consults the exact-shape method, never the
+    # B=1 scan_safe probe
+    def boom(self, n, num_reads):
+        raise AssertionError("B=1 probe used for a groups decision")
+
+    monkeypatch.setattr(PTSampler, "scan_safe", boom)
+    assert sampler_scan_safe_groups(pt, 41, 60, 100, groups=2) is False

@@ -4,6 +4,7 @@ learning on a toy problem."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qbmx.models.rbm import (
     ClassificationRBM,
@@ -274,3 +275,46 @@ class TestRBMReinit:
                       reinit_on_collapse=1)
         # lr=0 → only the re-init can have changed the weights
         assert not np.allclose(before, np.asarray(rbm.params.weights))
+
+
+class TestLateR5ReviewFixes:
+    def test_train_rbm_oversized_batch_trains_remainder(self, rng):
+        """batch_size > len(train) used to ZeroDivisionError; the promise
+        (sweep.py directs such callers here) is that the whole set trains
+        as one remainder batch."""
+        x = (rng.uniform(0, 1, (10, 8)) > 0.5).astype("float32")
+        y = rng.integers(0, 2, 10).astype("float32")
+        rbm = ClassificationRBM(num_visible=8, num_hidden=3, seed=0,
+                                learning_rate=0.2)
+        before = np.asarray(rbm.params.weights).copy()
+        losses, _, _ = rbm.train_rbm(x, y, epochs=2, batch_size=64)
+        assert len(losses) == 2 and np.isfinite(losses).all()
+        assert not np.allclose(before, np.asarray(rbm.params.weights))
+
+    def test_train_rbm_oversized_batch_pcd_raises(self, rng):
+        x = (rng.uniform(0, 1, (6, 8)) > 0.5).astype("float32")
+        y = rng.integers(0, 2, 6).astype("float32")
+        rbm = ClassificationRBM(num_visible=8, num_hidden=3, seed=0,
+                                method="pcd")
+        with pytest.raises(ValueError, match="batch_size"):
+            rbm.train_rbm(x, y, epochs=1, batch_size=64)
+
+    def test_unknown_method_raises(self):
+        """A typo'd method used to silently no-op (zero updates, 0.0 loss)."""
+        from qbmx.models.rbm import make_train_step
+
+        with pytest.raises(ValueError, match="unknown method"):
+            make_train_step(num_classes=2, method="Discriminative")
+        with pytest.raises(ValueError, match="unknown method"):
+            ClassificationRBM(num_visible=4, num_hidden=2, method="cd")
+
+    def test_repeated_train_rbm_reuses_epoch_program(self, rng):
+        """train_rbm caches the epoch closure on the instance so repeated
+        calls don't recompile the whole-epoch scan."""
+        x = (rng.uniform(0, 1, (12, 8)) > 0.5).astype("float32")
+        y = rng.integers(0, 2, 12).astype("float32")
+        rbm = ClassificationRBM(num_visible=8, num_hidden=3, seed=0)
+        rbm.train_rbm(x, y, epochs=1, batch_size=6)
+        fn_first = rbm._epoch_fn
+        rbm.train_rbm(x, y, epochs=1, batch_size=6)
+        assert rbm._epoch_fn is fn_first

@@ -579,3 +579,67 @@ class TestBestEpochCapture:
         acc, _ = rbm.run_test_set(tx, ty)
         assert acc == pytest.approx(
             acc_lists[0][int(sweep.best_epoch[0]) - 1])
+
+
+class TestLateR5ReviewFixes:
+    """Round-5 deep-review regressions: mesh-safe reinit scatter, persistent
+    attempt counters, image-shaped RBM sweep inputs."""
+
+    def test_reinit_seeds_under_dp_mesh(self, rng):
+        """reinit_seeds on a mesh-sharded sweep must not crash on the
+        row-scatter (fresh rows replicated over the SAME device set) and
+        must leave the state dp-sharded and trainable."""
+        from qbmx.parallel.mesh import make_mesh
+
+        x, y = two_cluster_data(rng, n=16)
+        seeds = [0, 1, 2, 3]
+        kw = dict(dim_input=6, n_hidden_nodes=2, sample_count=8,
+                  sampler=SASampler(num_sweeps=4, use_pallas=False))
+        mesh = make_mesh(dp=4, chains=1)
+        sharded = SeedParallelDQBM(seeds, **kw, mesh=mesh)
+        plain = SeedParallelDQBM(seeds, **kw)
+        sharded.reinit_seeds([1, 3])
+        plain.reinit_seeds([1, 3])
+        for a, b in zip(jax.tree.leaves(sharded.params),
+                        jax.tree.leaves(plain.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        leaf = jax.tree.leaves(sharded.params)[0]
+        assert len({sh.device for sh in leaf.addressable_shards}) == 4
+        # the re-drawn state must train (the crash was inside the scatter,
+        # but a mis-sharded result would die here instead)
+        sharded.train(x, y, epochs=1, batch_size=8, learning_rate=0.1,
+                      verbose=False)
+
+    def test_reinit_attempts_persist_across_train_calls(self, rng):
+        """A second train() call continues at attempt N+1 instead of
+        re-drawing the attempt-1 basin that already flatlined."""
+        x, y = two_cluster_data(rng, n=16)
+        y0 = np.zeros_like(y)  # impossible majority threshold
+        kw = dict(dim_input=6, n_hidden_nodes=2, sample_count=8,
+                  sampler=SASampler(num_sweeps=4, use_pallas=False))
+        sweep = SeedParallelDQBM([0, 1], **kw)
+        # each call: 2 epochs, check fires at epoch 1 only (never after the
+        # final epoch); lr=0 so params stay exactly at the re-drawn values
+        for _ in range(2):
+            sweep.train(x, y0, x, y0, epochs=2, batch_size=8,
+                        learning_rate=0.0, verbose=False,
+                        reinit_on_collapse=1)
+        assert sweep._reinit_attempts == [2, 2]
+        expect = SeedParallelDQBM([0, 1], **kw)
+        expect.reinit_seeds([0, 1], attempt=2)
+        for a, b in zip(jax.tree.leaves(sweep.params),
+                        jax.tree.leaves(expect.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rbm_sweep_accepts_image_shaped_inputs(self, rng):
+        """(N, H, W) train AND test inputs must both flatten — the jitted
+        sweep used to flatten train incidentally but crash on test."""
+        from qbmx.train.sweep import SeedParallelRBM
+
+        x = rng.uniform(0, 1, (24, 3, 2)).astype("float32")
+        y = rng.integers(0, 2, 24).astype("float32")
+        tx = rng.uniform(0, 1, (10, 3, 2)).astype("float32")
+        sweep = SeedParallelRBM([0, 1], num_visible=6, num_hidden=3)
+        acc_lists, auc_lists = sweep.sweep(x, y, tx, y[:10], epochs=2,
+                                           batch_size=8)
+        assert len(acc_lists) == 2 and len(acc_lists[0]) == 2
